@@ -1,0 +1,202 @@
+"""Differentiable, batched SE(3) pose math.
+
+Functional parity with the reference pose utilities
+(ref: atdn_vslam/utils/transforms.py:4-170) with three deliberate
+upgrades for TPU:
+
+  1. every function is batched over arbitrary leading axes — the
+     reference loops in python (e.g. rel2abs, transforms.py:158-168);
+  2. rotation-matrix construction uses ``jnp.stack`` so gradients flow
+     (the reference builds matrices with ``torch.tensor([...])`` at
+     transforms.py:50,79-89, silently detaching the graph);
+  3. global-trajectory accumulation is a ``lax.associative_scan`` over
+     4x4 matmuls — O(log N) depth on the MXU instead of a python chain.
+
+Euler conventions supported: "yxz" (the SLAM default), "yxy", "xyx",
+matching transforms.py:41-48,78-89.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_CONVENTIONS = ("yxz", "yxy", "xyx")
+
+
+def euler_to_matrix(euler: jax.Array, convention: str = "yxz") -> jax.Array:
+    """Euler angles -> rotation matrix, batched over leading axes.
+
+    :param euler: (..., 3) array of angles (alpha, beta, gamma).
+    :param convention: one of "yxz", "yxy", "xyx"
+        (ref: transforms.py:78-89).
+    :return: (..., 3, 3) rotation matrices.
+    """
+    if convention not in _CONVENTIONS:
+        raise ValueError(f"Unsupported euler convention: {convention!r}")
+
+    c1, c2, c3 = (jnp.cos(euler[..., i]) for i in range(3))
+    s1, s2, s3 = (jnp.sin(euler[..., i]) for i in range(3))
+
+    if convention == "yxz":
+        rows = [
+            [c1 * c3 + s1 * s2 * s3, c3 * s1 * s2 - c1 * s3, c2 * s1],
+            [c2 * s3, c2 * c3, -s2],
+            [c1 * s2 * s3 - c3 * s1, c1 * c3 * s2 + s1 * s3, c1 * c2],
+        ]
+    elif convention == "xyx":
+        rows = [
+            [c2, s2 * s3, c3 * s2],
+            [s1 * s2, c1 * c3 - c2 * s1 * s3, -c3 * s3 - c2 * c3 * s1],
+            [-c1 * s2, c3 * s1 + c1 * c2 * s3, c1 * c2 * c3 - s1 * s3],
+        ]
+    else:  # yxy
+        rows = [
+            [c1 * c3 - c2 * s1 * s3, s2 * s1, c2 * s1 * s1 + c1 * s3],
+            [s2 * s3, c2, -s2 * c3],
+            [-c3 * s1 - c2 * c1 * s3, s2 * c1, c2 * c1 * c3 - s1 * s3],
+        ]
+
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def matrix_to_euler(R: jax.Array, convention: str = "yxz") -> jax.Array:
+    """Rotation matrix -> euler angles, batched over leading axes.
+
+    :param R: (..., 3, 3) rotation matrices.
+    :return: (..., 3) euler angles (ref: transforms.py:41-48).
+    """
+    if convention == "yxz":
+        alpha = jnp.arctan2(R[..., 0, 2], R[..., 2, 2])
+        # clamp guards sqrt against tiny negative values from f32 noise
+        beta = jnp.arctan2(
+            -R[..., 1, 2],
+            jnp.sqrt(jnp.clip(1.0 - R[..., 1, 2] ** 2, 0.0, None)),
+        )
+        gamma = jnp.arctan2(R[..., 1, 0], R[..., 1, 1])
+    elif convention == "yxy":
+        alpha = jnp.arctan2(R[..., 0, 1], R[..., 2, 1])
+        beta = jnp.arctan2(
+            jnp.sqrt(jnp.clip(1.0 - R[..., 1, 1] ** 2, 0.0, None)),
+            R[..., 1, 1],
+        )
+        gamma = jnp.arctan2(R[..., 1, 0], -R[..., 1, 2])
+    else:
+        raise ValueError(f"Unsupported euler convention: {convention!r}")
+
+    return jnp.stack([alpha, beta, gamma], axis=-1)
+
+
+def line_to_matrix(line: jax.Array) -> jax.Array:
+    """KITTI 12-value pose line(s) -> 4x4 homogeneous matrices.
+
+    :param line: (..., 12) row-major [R | t] entries
+        (ref: transforms.py:4-22).
+    :return: (..., 4, 4) homogeneous pose matrices.
+    """
+    top = line.reshape(*line.shape[:-1], 3, 4)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def matrix_to_line(mat: jax.Array) -> jax.Array:
+    """4x4 homogeneous matrices -> KITTI 12-value pose line(s)."""
+    return mat[..., :3, :].reshape(*mat.shape[:-2], 12)
+
+
+def pose_to_matrix(
+    rot: jax.Array, tr: jax.Array, convention: str = "yxz"
+) -> jax.Array:
+    """(euler rotation, translation) -> 4x4 homogeneous matrix.
+
+    Batched equivalent of the reference ``transform``
+    (ref: transforms.py:97-119).
+
+    :param rot: (..., 3) euler angles.
+    :param tr: (..., 3) translations.
+    :return: (..., 4, 4) homogeneous pose matrices.
+    """
+    R = euler_to_matrix(rot, convention)
+    top = jnp.concatenate([R, tr[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def matrix_to_pose(
+    mat: jax.Array, convention: str = "yxz"
+) -> tuple[jax.Array, jax.Array]:
+    """4x4 homogeneous matrix -> (euler rotation, translation)."""
+    return matrix_to_euler(mat[..., :3, :3], convention), mat[..., :3, 3]
+
+
+def se3_inverse(mat: jax.Array) -> jax.Array:
+    """Analytic inverse of homogeneous pose matrices: (R,t) -> (R^T, -R^T t).
+
+    Replaces the reference's generic ``torch.inverse``
+    (ref: transforms.py:136) — exact, cheaper and MXU-friendly.
+    """
+    R = mat[..., :3, :3]
+    t = mat[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -Rt @ t], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def relative_pose(
+    pose1: jax.Array, pose2: jax.Array, convention: str = "yxz"
+) -> tuple[jax.Array, jax.Array]:
+    """Absolute pose pair -> relative (euler rotation, translation).
+
+    Batched equivalent of the reference ``abs2rel``
+    (ref: transforms.py:122-144). Accepts either (..., 12) KITTI lines
+    or (..., 4, 4) matrices.
+    """
+    if pose1.shape[-1] == 12:
+        pose1 = line_to_matrix(pose1)
+        pose2 = line_to_matrix(pose2)
+    delta = se3_inverse(pose1) @ pose2
+    return matrix_to_euler(delta[..., :3, :3], convention), delta[..., :3, 3]
+
+
+def absolute_to_relative(
+    poses: jax.Array, convention: str = "yxz"
+) -> tuple[jax.Array, jax.Array]:
+    """Absolute pose sequence -> per-step relative rotations/translations.
+
+    :param poses: (N, 12) KITTI lines or (N, 4, 4) matrices.
+    :return: ((N-1, 3) euler, (N-1, 3) translation) deltas.
+    """
+    if poses.shape[-1] == 12:
+        poses = line_to_matrix(poses)
+    return relative_pose(poses[:-1], poses[1:], convention)
+
+
+def accumulate_poses(
+    rotations: jax.Array,
+    translations: jax.Array,
+    convention: str = "yxz",
+    base: jax.Array | None = None,
+) -> jax.Array:
+    """Chain relative (euler, translation) steps into a global trajectory.
+
+    Batched/log-depth equivalent of the reference ``rel2abs``
+    (ref: transforms.py:147-170): ``out[0] = I`` (or ``base``) and
+    ``out[i+1] = out[i] @ T_i`` computed with ``lax.associative_scan``
+    over 4x4 matmuls (matrix product is associative), so the N-step
+    chain runs in O(log N) sequential matmul rounds on the MXU.
+
+    :param rotations: (N, 3) relative euler rotations.
+    :param translations: (N, 3) relative translations.
+    :param base: optional (4, 4) starting pose, defaults to identity.
+    :return: (N+1, 4, 4) absolute poses (leading identity/base included,
+        matching transforms.py:164).
+    """
+    steps = pose_to_matrix(rotations, translations, convention)
+    chained = jax.lax.associative_scan(jnp.matmul, steps)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=steps.dtype), (1, 4, 4))
+    if base is not None:
+        base = base.astype(steps.dtype)
+        eye = base[None]
+        chained = base[None] @ chained
+    return jnp.concatenate([eye, chained], axis=0)

@@ -1,0 +1,196 @@
+"""Shared NN building blocks (Flax/linen, NHWC).
+
+TPU-native equivalents of the reference layer library
+(ref: atdn_vslam/layers/conv.py:7-197, layers/linear.py:5-41). Semantics
+to note, preserved from the reference:
+
+  * block ordering is conv -> activation -> batchnorm
+    (ref: conv.py:37 ``bn(act(conv(x)))``), not the conventional
+    conv-bn-act;
+  * ``ResidualConvBlock``'s skip path is a strided 1x1 conv
+    (ref: conv.py:72-76) and the sum is followed by act+bn;
+  * ``LinearBlock`` is dense -> act -> [layernorm] -> [dropout 0.2]
+    (ref: linear.py:35-41);
+  * the default activation everywhere is Mish.
+
+Differences by design: data layout is NHWC (TPU conv layout), and all
+state (batchnorm running stats) lives in the ``batch_stats`` collection
+instead of module attributes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+
+def mish(x: jax.Array) -> jax.Array:
+    """Mish activation: x * tanh(softplus(x)) (ref uses nn.Mish,
+    odometry/network.py:49)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+Activation = Callable[[jax.Array], jax.Array]
+
+
+def _batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
+    # torch BatchNorm2d defaults: momentum 0.1 (-> flax 0.9), eps 1e-5
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+    )
+
+
+class ConvBlock(nn.Module):
+    """Conv -> activation -> BatchNorm (ref: layers/conv.py:7-37)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = (0, 0)
+    dilation: tuple[int, int] = (1, 1)
+    activation: Activation = mish
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = self.padding
+        if isinstance(pad, tuple) and isinstance(pad[0], int):
+            pad = tuple((p, p) for p in pad)
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            kernel_dilation=self.dilation,
+            use_bias=self.use_bias,
+        )(x)
+        x = self.activation(x)
+        return _batch_norm(train)(x)
+
+
+class ResidualConvBlock(nn.Module):
+    """Two ConvBlocks + strided 1x1 skip, then act+bn on the sum
+    (ref: layers/conv.py:40-90)."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    activation: Activation = mish
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_features = x.shape[-1]
+        y = ConvBlock(
+            in_features, (3, 3), (1, 1), (1, 1), activation=self.activation
+        )(x, train)
+        y = ConvBlock(
+            self.features, (3, 3), self.strides, (1, 1),
+            activation=self.activation,
+        )(y, train)
+        skip = nn.Conv(
+            self.features, (1, 1), strides=self.strides, padding="VALID"
+        )(x)
+        out = self.activation(y + skip)
+        return _batch_norm(train)(out)
+
+
+class TransposedConvBlock(nn.Module):
+    """Conv(k3,p1) -> ConvTranspose -> act -> bn, plus a resize+1x1-conv
+    skip, then act+bn on the sum (ref: layers/conv.py:93-139).
+
+    ConvTranspose uses torch semantics: out = (in-1)*stride - 2*pad + k,
+    achieved with lax-style padding (k-1-pad) on the dilated input.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (2, 2)
+    padding: tuple[int, int] = (1, 1)
+    activation: Activation = mish
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = ConvBlock(
+            self.features, (3, 3), (1, 1), (1, 1), activation=self.activation
+        )(x, train)
+        tp_pad = tuple(
+            (k - 1 - p, k - 1 - p)
+            for k, p in zip(self.kernel_size, self.padding)
+        )
+        y = nn.ConvTranspose(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=tp_pad,
+        )(y)
+        y = self.activation(y)
+        y = _batch_norm(train)(y)
+
+        skip = jax.image.resize(
+            x, (*x.shape[:-3], *y.shape[-3:-1], x.shape[-1]), method="bilinear"
+        )
+        skip = nn.Conv(self.features, (1, 1), padding="VALID")(skip)
+        out = self.activation(y + skip)
+        return _batch_norm(train)(out)
+
+
+class DUCBlock(nn.Module):
+    """Dense-upscale conv: ConvBlock(4*features) + 2x pixel shuffle
+    (ref: layers/conv.py:142-174)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (1, 1)
+    activation: Activation = mish
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = ConvBlock(
+            4 * self.features, self.kernel_size, self.strides, self.padding,
+            activation=self.activation,
+        )(x, train)
+        # torch PixelShuffle channel order: c_in = c*r*r + p1*r + p2
+        return rearrange(x, "... h w (c p1 p2) -> ... (h p1) (w p2) c", p1=2, p2=2)
+
+
+class ConnectedDUCBlock(nn.Module):
+    """Concat(direct, skip) -> ConvBlock -> DUC, for U-Net structures
+    (ref: layers/conv.py:177-197)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(
+        self, direct: jax.Array, skip: jax.Array, train: bool = False
+    ) -> jax.Array:
+        in_features = direct.shape[-1]
+        x = jnp.concatenate([direct, skip], axis=-1)
+        x = ConvBlock(in_features, (3, 3), padding=(1, 1))(x, train)
+        return DUCBlock(self.features)(x, train)
+
+
+class LinearBlock(nn.Module):
+    """Dense -> activation -> [LayerNorm] -> [Dropout 0.2]
+    (ref: layers/linear.py:5-41)."""
+
+    features: int
+    activation: Activation | None = mish
+    use_bias: bool = True
+    norm: bool = False
+    dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        if self.norm:
+            x = nn.LayerNorm()(x)
+        if self.dropout:
+            x = nn.Dropout(rate=0.2, deterministic=not train)(x)
+        return x

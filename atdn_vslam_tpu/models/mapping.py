@@ -1,0 +1,117 @@
+"""MappingVAE — the convolutional-autoencoder map network.
+
+TPU-native re-design of the reference localization network
+(ref: atdn_vslam/localization/network.py:9-87):
+
+  * input: keyframe RGB in [0, 255], NHWC; normalized internally by
+    /255 + ImageNet mean/std (ref: utils/normalizations.py:4-6);
+  * encoder: Conv k7 + 6x ResidualConv s2 with channels
+    (16, 16, 32, 64, 128, 128) (ref network.py:29-42);
+  * a 1x1-conv bottleneck produces the latent code ``mu``
+    (ref network.py:45,70);
+  * decoder: 6x TransposedConv s2 + final 3x3 conv
+    (ref network.py:47-55). Output spatial size follows torch
+    transposed-conv arithmetic (2*in - 1 per stage), so the decoded
+    image is smaller than the input — training resizes targets to the
+    prediction (ref neural_slam.py:332);
+  * optional variational path with reparametrization
+    (ref network.py:63-68; off by default). The reference's
+    ``sigma_lin`` is commented out upstream (network.py:44) making
+    variational=True crash there; here it works.
+
+The latent code keeps its spatial layout (H/64-ish x W/64-ish x 128);
+relocalization flattens it for nearest-neighbor search.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from atdn_vslam_tpu.models.blocks import (
+    ConvBlock,
+    ResidualConvBlock,
+    TransposedConvBlock,
+    mish,
+)
+
+# ImageNet RGB statistics (ref: utils/normalizations.py:4-6)
+RGB_MEAN = (0.485, 0.456, 0.406)
+RGB_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_rgb(image: jax.Array) -> jax.Array:
+    """[0,255] RGB -> ImageNet-normalized floats (NHWC)."""
+    x = image / jnp.asarray(255.0, image.dtype)
+    mean = jnp.asarray(RGB_MEAN, x.dtype)
+    std = jnp.asarray(RGB_STD, x.dtype)
+    return (x - mean) / std
+
+
+class MappingVAE(nn.Module):
+    variational: bool = False
+    channels: tuple[int, ...] = (16, 16, 32, 64, 128, 128)
+    latent_channels: int = 128
+
+    def setup(self):
+        self.stem = ConvBlock(3, (7, 7), (1, 1), (3, 3), activation=mish)
+        self.down = [
+            ResidualConvBlock(ch, (2, 2), activation=mish)
+            for ch in self.channels
+        ]
+        self.mean_lin = nn.Conv(self.latent_channels, (1, 1), padding="VALID")
+        if self.variational:
+            self.sigma_lin = nn.Conv(
+                self.latent_channels, (1, 1), padding="VALID"
+            )
+        up_channels = (*reversed(self.channels[:-1]), 8)
+        self.up = [
+            TransposedConvBlock(ch, (3, 3), (2, 2), (1, 1), activation=mish)
+            for ch in up_channels
+        ]
+        self.out_conv = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)))
+
+    def encode(self, image: jax.Array, train: bool = False) -> jax.Array:
+        """RGB [0,255] NHWC -> pre-bottleneck feature map."""
+        x = normalize_rgb(image)
+        x = self.stem(x, train)
+        for block in self.down:
+            x = block(x, train)
+        return x
+
+    def decode(self, latent: jax.Array, train: bool = False) -> jax.Array:
+        x = latent
+        for block in self.up:
+            x = block(x, train)
+        return self.out_conv(x)
+
+    def __call__(
+        self,
+        image: jax.Array,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array | None, jax.Array, jax.Array]:
+        """Returns (mu, logvar, latent, decoded) like the reference
+        forward (network.py:57-77)."""
+        encoded = self.encode(image, train)
+        if self.variational:
+            mu = self.mean_lin(encoded)
+            logvar = self.sigma_lin(encoded)
+            sigma = jnp.exp(0.5 * logvar)
+            if rng is None:
+                rng = self.make_rng("reparam")
+            eps = jax.random.normal(rng, sigma.shape, sigma.dtype)
+            latent = mu + sigma * eps
+        else:
+            latent = self.mean_lin(encoded)
+            mu = latent
+            logvar = None
+        decoded = self.decode(latent, train)
+        return mu, logvar, latent, decoded
+
+    def get_code(self, image: jax.Array) -> jax.Array:
+        """Latent embedding for relocalization NN search
+        (ref network.py:80-84; the reference's ``self.norm`` there is a
+        latent bug — nonexistent attribute — which we drop)."""
+        return self.mean_lin(self.encode(image, train=False))

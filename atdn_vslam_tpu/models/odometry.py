@@ -1,0 +1,147 @@
+"""ATDNVO — the CLVO conv+LSTM odometry regressor.
+
+TPU-native re-design of the reference odometry network
+(ref: atdn_vslam/odometry/network.py:11-162):
+
+  * input is a batch of optical-flow windows (B, T, H, W, 2) — NHWC,
+    time-major windows — normalized by the KITTI flow std
+    (ref: utils/normalizations.py:8-10);
+  * the CNN encoder runs once over the folded (B*T) batch (one big
+    MXU-friendly conv pass) instead of the reference's per-timestep
+    python loop (ref: train_odometry.py:32-38);
+  * the two LSTMCells carry *explicit* state passed in and returned,
+    instead of hidden module attributes (ref: network.py:95-104
+    stores h/c on ``self``) — jit/scan/vmap safe;
+  * rotation/translation MLP heads as in network.py:109-119.
+
+Encoder structure (compressor variant, ref network.py:63-73):
+  per-channel 1x1 depthwise conv -> Conv k7 s2 p3 (16ch)
+  -> 4x ResidualConv s2 (16ch) -> Conv k3 s3 p0 -> flatten
+  -> Linear(512). At 376x1232 input the flattened size is 4*13*16=832.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from atdn_vslam_tpu.models.blocks import ConvBlock, LinearBlock, ResidualConvBlock, mish
+
+# Implicit flow normalization std (ref: utils/normalizations.py:10)
+FLOW_STD = (58.1837, 17.7647)
+
+# LSTM carry: ((c1, h1), (c2, h2)) — flax LSTMCell carry is (c, h)
+Carry = tuple[tuple[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+class _Encoder(nn.Module):
+    """Flow-window feature encoder (ref: odometry/network.py:62-86)."""
+
+    in_channels: int = 2
+    compressor: bool = True
+    use_dropout: bool = False
+    use_layernorm: bool = False
+
+    @nn.compact
+    def __call__(self, flow: jax.Array, train: bool = False) -> jax.Array:
+        if self.compressor:
+            # per-channel 1x1 conv (groups=C depthwise, ref network.py:64)
+            x = nn.Conv(
+                self.in_channels, (1, 1),
+                feature_group_count=self.in_channels,
+            )(flow)
+            x = ConvBlock(16, (7, 7), (2, 2), (3, 3), activation=mish)(x, train)
+            for _ in range(4):
+                x = ResidualConvBlock(16, (2, 2), activation=mish)(x, train)
+            x = ConvBlock(16, (3, 3), (3, 3), (0, 0), activation=mish)(x, train)
+        else:
+            # "non-compressor" encoder variant (ref network.py:75-86)
+            for ch in (4, 8, 16, 16, 16, 16):
+                x = ResidualConvBlock(ch, (2, 2), activation=mish)(flow, train)
+                flow = x
+        x = x.reshape(x.shape[0], -1)
+        return LinearBlock(
+            512, activation=mish,
+            dropout=self.use_dropout, norm=self.use_layernorm,
+        )(x, train)
+
+
+class ATDNVO(nn.Module):
+    """Odometry network: flow window -> per-step (euler rot, translation).
+
+    Usage:
+      carry = model.init_carry(batch)
+      (rots, trs), carry = model.apply(vars, flows, carry, train=...)
+    with ``flows`` of shape (B, T, H, W, 2); outputs (B, T, 3) each.
+    Single-step usage passes T=1.
+    """
+
+    in_channels: int = 2
+    compressor: bool = True
+    use_dropout: bool = False
+    use_layernorm: bool = False
+    lstm_size: int = 512
+
+    def setup(self):
+        self.encoder = _Encoder(
+            self.in_channels, self.compressor,
+            self.use_dropout, self.use_layernorm,
+        )
+        self.lstm1 = nn.LSTMCell(self.lstm_size)
+        self.lstm_linear = LinearBlock(
+            512, activation=mish,
+            dropout=self.use_dropout, norm=self.use_layernorm,
+        )
+        self.lstm2 = nn.LSTMCell(self.lstm_size)
+        self.rotation_head = _Head(self.use_dropout, self.use_layernorm)
+        self.translation_head = _Head(self.use_dropout, self.use_layernorm)
+
+    def init_carry(self, batch_size: int, dtype=jnp.float32) -> Carry:
+        """Zero LSTM state (ref: network.py:149-153 ``reset_lstm``)."""
+        zeros = jnp.zeros((batch_size, self.lstm_size), dtype)
+        return ((zeros, zeros), (zeros, zeros))
+
+    def __call__(
+        self, flows: jax.Array, carry: Carry, train: bool = False
+    ) -> tuple[tuple[jax.Array, jax.Array], Carry]:
+        b, t = flows.shape[:2]
+        norm = jnp.asarray(FLOW_STD, flows.dtype)
+        x = flows / norm
+        # fold (B, T) for one batched encoder pass
+        feats = self.encoder(x.reshape(b * t, *x.shape[2:]), train)
+        feats = feats.reshape(b, t, -1)
+
+        # unrolled recurrence over the (static, small) window length
+        c1, c2 = carry
+        rots, trs = [], []
+        for j in range(t):
+            c1, h1 = self.lstm1(c1, feats[:, j])
+            mid = self.lstm_linear(h1, train)
+            c2, h2 = self.lstm2(c2, mid)
+            rots.append(self.rotation_head(h2, train))
+            trs.append(self.translation_head(h2, train))
+        return (
+            (jnp.stack(rots, axis=1), jnp.stack(trs, axis=1)),
+            (c1, c2),
+        )
+
+
+class _Head(nn.Module):
+    """512 -> 128 -> 64 -> 3 MLP regressor head
+    (ref: odometry/network.py:109-119)."""
+
+    use_dropout: bool = False
+    use_layernorm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = LinearBlock(
+            128, activation=mish,
+            dropout=self.use_dropout, norm=self.use_layernorm,
+        )(x, train)
+        x = LinearBlock(
+            64, activation=mish,
+            dropout=self.use_dropout, norm=self.use_layernorm,
+        )(x, train)
+        return nn.Dense(3, use_bias=False)(x)

@@ -1,0 +1,38 @@
+"""Test harness: hermetic CPU runs with a virtual 8-device mesh.
+
+The reference has no automated tests (SURVEY.md section 4); this suite is
+new. All tests run on the CPU backend with 8 virtual devices so that
+sharding/pjit paths are exercised without TPU hardware.
+
+Environment variables must be set before the first jax import, hence the
+module-level assignments here (pytest imports conftest before tests).
+"""
+
+import os
+import sys
+
+# Hard override: the shell environment pins JAX_PLATFORMS to the TPU
+# tunnel; tests must be hermetic on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The TPU-tunnel sitecustomize pre-imports jax, which snapshots
+# JAX_PLATFORMS at import time — the env assignment above is then too
+# late. Force the config directly as well (safe either way).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,112 @@
+"""Unit tests for losses (parity target: ref atdn_vslam/odometry/loss.py,
+localization/losses.py, localization/edl.py, neural_slam.py:336-340)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atdn_vslam_tpu.geometry.se3 import matrix_to_euler, pose_to_matrix
+from atdn_vslam_tpu.training.losses import (
+    clvo_loss,
+    composed_pose_loss,
+    embedding_distance_loss,
+    mapping_reconstruction_loss,
+    transform_loss,
+    vae_loss,
+)
+
+
+def _rand_pose(rng, shape):
+    rot = rng.normal(size=(*shape, 3)).astype(np.float32) * 0.05
+    tr = rng.normal(size=(*shape, 3)).astype(np.float32)
+    return jnp.asarray(rot), jnp.asarray(tr)
+
+
+def test_transform_loss_weights(rng):
+    pr, pt = _rand_pose(rng, (4, 6))
+    tr_, tt = _rand_pose(rng, (4, 6))
+    out = transform_loss(pr, pt, tr_, tt)
+    expected = 1.0 * np.sum((np.asarray(pt) - np.asarray(tt)) ** 2, -1) + \
+        100.0 * np.sum((np.asarray(pr) - np.asarray(tr_)) ** 2, -1)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_clvo_zero_for_perfect_prediction(rng):
+    r, t = _rand_pose(rng, (2, 6))
+    assert float(clvo_loss(r, t, r, t, alpha=0.5, w=3)) < 1e-9
+
+
+def test_composed_pose_loss_matches_naive(rng):
+    """Prefix-product window composition == naive python chain
+    (ref: loss.py:79-87)."""
+    b, t, w = 2, 6, 3
+    pr, pt = _rand_pose(rng, (b, t))
+    tr_, tt = _rand_pose(rng, (b, t))
+    ours = np.asarray(composed_pose_loss(pr, pt, tr_, tt, w=w))
+
+    def naive_one(rot, tr, rot_t, tr_t):
+        mats_p = np.asarray(pose_to_matrix(rot, tr))
+        mats_t = np.asarray(pose_to_matrix(rot_t, tr_t))
+        total = 0.0
+        for j in range(t - w + 1):
+            cp, ct = mats_p[j], mats_t[j]
+            for i in range(j + 1, j + w):
+                cp = cp @ mats_p[i]
+                ct = ct @ mats_t[i]
+            ep = np.asarray(matrix_to_euler(jnp.asarray(cp[:3, :3])))
+            et = np.asarray(matrix_to_euler(jnp.asarray(ct[:3, :3])))
+            total += 1.0 * np.sum((cp[:3, 3] - ct[:3, 3]) ** 2) + \
+                100.0 * np.sum((ep - et) ** 2)
+        return total
+
+    expected = np.array(
+        [naive_one(pr[i], pt[i], tr_[i], tt[i]) for i in range(b)]
+    )
+    np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-5)
+
+
+def test_clvo_alpha_blend(rng):
+    pr, pt = _rand_pose(rng, (3, 6))
+    tr_, tt = _rand_pose(rng, (3, 6))
+    l_rel_only = float(clvo_loss(pr, pt, tr_, tt, alpha=1.0))
+    l_mix = float(clvo_loss(pr, pt, tr_, tt, alpha=0.5, w=3))
+    l_com_only = float(clvo_loss(pr, pt, tr_, tt, alpha=0.0, w=3))
+    np.testing.assert_allclose(
+        l_mix, 0.5 * l_rel_only + 0.5 * l_com_only, rtol=1e-4
+    )
+
+
+def test_clvo_loss_differentiable(rng):
+    pr, pt = _rand_pose(rng, (2, 6))
+    tr_, tt = _rand_pose(rng, (2, 6))
+    g = jax.grad(
+        lambda r, t: clvo_loss(r, t, tr_, tt, alpha=0.3, w=3)
+    )(pr, pt)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_vae_loss():
+    mu = jnp.zeros((2, 4))
+    logvar = jnp.zeros((2, 4))
+    pred = jnp.ones((2, 8))
+    target = jnp.zeros((2, 8))
+    # KLD of N(0,1) vs N(0,1) is 0 -> loss == MSE == 1
+    np.testing.assert_allclose(float(vae_loss(pred, target, mu, logvar)), 1.0, atol=1e-6)
+
+
+def test_edl_zero_for_isometric_embedding(rng):
+    pts = rng.normal(size=(3, 3)).astype(np.float32)
+    emb = np.concatenate([pts * 2.0, np.zeros((3, 5), np.float32)], axis=1)
+    out = float(embedding_distance_loss(jnp.asarray(emb), jnp.asarray(pts)))
+    assert out < 1e-8
+
+
+def test_mapping_reconstruction_loss(rng):
+    target = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+    assert float(mapping_reconstruction_loss(target, target)) < 1e-9
+    pred = target + 0.1
+    # equal shift keeps saturation identical -> loss == mse == 0.01
+    np.testing.assert_allclose(
+        float(mapping_reconstruction_loss(pred, target)), 0.01, atol=1e-5
+    )

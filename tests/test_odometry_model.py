@@ -1,0 +1,108 @@
+"""Unit tests for the ATDNVO odometry model
+(parity target: ref atdn_vslam/odometry/network.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.models.odometry import ATDNVO
+
+# tiny spatial size with the same /32 then /3 conv arithmetic viability
+H, W = 376, 1232
+
+
+@pytest.fixture(scope="module")
+def small_model_and_vars():
+    model = ATDNVO()
+    flows = jnp.zeros((1, 1, H, W, 2))
+    carry = model.init_carry(1)
+    vars_ = model.init(jax.random.key(0), flows, carry)
+    return model, vars_
+
+
+def test_forward_shapes(small_model_and_vars):
+    model, vars_ = small_model_and_vars
+    flows = jnp.ones((1, 3, H, W, 2))
+    carry = model.init_carry(1)
+    (rot, tr), carry2 = model.apply(vars_, flows, carry)
+    assert rot.shape == (1, 3, 3)
+    assert tr.shape == (1, 3, 3)
+    # carry structure: ((c1,h1),(c2,h2)) with 512-wide states
+    (c1, h1), (c2, h2) = carry2
+    assert c1.shape == h1.shape == c2.shape == h2.shape == (1, 512)
+
+
+def test_encoder_flattened_832(small_model_and_vars):
+    """At 376x1232, the encoder's final conv output is 4x13x16 = 832
+    features (ref: odometry/network.py:72 Linear(832, 512))."""
+    model, vars_ = small_model_and_vars
+    dense_kernel = vars_["params"]["encoder"]["LinearBlock_0"]["Dense_0"]["kernel"]
+    assert dense_kernel.shape == (832, 512)
+
+
+def test_carry_is_stateful(small_model_and_vars):
+    """Same input twice with carried state must give different outputs,
+    resetting the carry must reproduce the first output
+    (ref semantics: network.py:137-140,149-153)."""
+    model, vars_ = small_model_and_vars
+    flows = jnp.ones((1, 1, H, W, 2)) * 5.0
+    carry = model.init_carry(1)
+    (r1, t1), carry2 = model.apply(vars_, flows, carry)
+    (r2, _), _ = model.apply(vars_, flows, carry2)
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+    (r3, t3), _ = model.apply(vars_, flows, model.init_carry(1))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t3), atol=1e-6)
+
+
+def test_window_equals_stepwise(small_model_and_vars):
+    """Processing a window in one call == stepping frame by frame with
+    threaded carry (the lax.scan/batch-folded encoder must not change
+    the recurrence semantics)."""
+    model, vars_ = small_model_and_vars
+    flows = jax.random.normal(jax.random.key(1), (1, 3, H, W, 2)) * 10
+    carry = model.init_carry(1)
+    (rot_win, tr_win), _ = model.apply(vars_, flows, carry)
+
+    carry = model.init_carry(1)
+    rots, trs = [], []
+    for j in range(3):
+        (r, t), carry = model.apply(vars_, flows[:, j : j + 1], carry)
+        rots.append(r[:, 0])
+        trs.append(t[:, 0])
+    np.testing.assert_allclose(
+        np.asarray(rot_win[0]), np.asarray(jnp.stack(rots, 1)[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_win[0]), np.asarray(jnp.stack(trs, 1)[0]), atol=1e-5
+    )
+
+
+def test_train_mode_mutates_batch_stats(small_model_and_vars):
+    model, vars_ = small_model_and_vars
+    flows = jax.random.normal(jax.random.key(2), (2, 2, H, W, 2))
+    carry = model.init_carry(2)
+    (_, _), mutated = model.apply(
+        vars_, flows, carry, True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in mutated
+
+
+def test_gradients_flow(small_model_and_vars):
+    model, vars_ = small_model_and_vars
+    flows = jax.random.normal(jax.random.key(3), (1, 2, H, W, 2))
+
+    def loss_fn(params):
+        carry = model.init_carry(1)
+        (rot, tr), _ = model.apply(
+            {**vars_, "params": params}, flows, carry
+        )
+        return jnp.sum(rot**2) + jnp.sum(tr**2)
+
+    grads = jax.grad(loss_fn)(vars_["params"])
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # at least the heads and lstm get nonzero grads
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0

@@ -1,0 +1,183 @@
+"""Unit tests for the SE(3) geometry core.
+
+Covers parity behaviors of the reference transforms
+(ref: atdn_vslam/utils/transforms.py) plus the gradient-flow fix and the
+associative-scan trajectory accumulation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.geometry import (
+    absolute_to_relative,
+    accumulate_poses,
+    euler_to_matrix,
+    line_to_matrix,
+    matrix_to_euler,
+    matrix_to_line,
+    matrix_to_pose,
+    pose_to_matrix,
+    relative_pose,
+    se3_inverse,
+)
+
+
+def random_euler(rng, shape=()):
+    # keep beta in (-pi/2, pi/2) so yxz euler extraction is unique
+    a = rng.uniform(-np.pi, np.pi, shape)
+    b = rng.uniform(-np.pi / 2 + 0.05, np.pi / 2 - 0.05, shape)
+    g = rng.uniform(-np.pi, np.pi, shape)
+    return np.stack([a, b, g], axis=-1).astype(np.float32)
+
+
+def test_euler_matrix_roundtrip(rng):
+    e = random_euler(rng, (64,))
+    R = euler_to_matrix(jnp.asarray(e))
+    e2 = matrix_to_euler(R)
+    np.testing.assert_allclose(np.asarray(e2), e, atol=1e-5)
+
+
+def test_euler_matrix_is_rotation(rng):
+    e = random_euler(rng, (16,))
+    R = np.asarray(euler_to_matrix(jnp.asarray(e)))
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), R.shape)
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1), eye, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_known_yxz_values():
+    # zero angles -> identity
+    np.testing.assert_allclose(
+        np.asarray(euler_to_matrix(jnp.zeros(3))), np.eye(3), atol=1e-7
+    )
+    # pure beta rotation (about x in yxz convention): R @ [0,0,1] has -sin(b) y-component
+    b = 0.3
+    R = np.asarray(euler_to_matrix(jnp.array([0.0, b, 0.0])))
+    v = R @ np.array([0.0, 0.0, 1.0])
+    np.testing.assert_allclose(v, [0.0, -np.sin(b), np.cos(b)], atol=1e-6)
+
+
+def test_line_matrix_roundtrip(rng):
+    line = rng.normal(size=(5, 12)).astype(np.float32)
+    mat = line_to_matrix(jnp.asarray(line))
+    assert mat.shape == (5, 4, 4)
+    np.testing.assert_allclose(np.asarray(mat[:, 3]), np.tile([0, 0, 0, 1], (5, 1)))
+    np.testing.assert_allclose(np.asarray(matrix_to_line(mat)), line)
+
+
+def test_se3_inverse(rng):
+    e = random_euler(rng, (8,))
+    t = rng.normal(size=(8, 3)).astype(np.float32)
+    M = pose_to_matrix(jnp.asarray(e), jnp.asarray(t))
+    inv = se3_inverse(M)
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (8, 4, 4))
+    np.testing.assert_allclose(np.asarray(M @ inv), eye, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inv @ M), eye, atol=1e-5)
+
+
+def test_relative_then_accumulate_roundtrip(rng):
+    """abs2rel -> rel2abs reproduces the original trajectory."""
+    n = 50
+    e = random_euler(rng, (n,)) * 0.1
+    t = rng.normal(size=(n, 3)).astype(np.float32)
+    # build an absolute trajectory by chaining
+    abs_poses = accumulate_poses(jnp.asarray(e), jnp.asarray(t))
+    assert abs_poses.shape == (n + 1, 4, 4)
+
+    rel_rot, rel_tr = absolute_to_relative(abs_poses)
+    rebuilt = accumulate_poses(rel_rot, rel_tr)
+    np.testing.assert_allclose(np.asarray(rebuilt), np.asarray(abs_poses), atol=2e-4)
+
+
+def test_accumulate_matches_sequential(rng):
+    """associative_scan chain == naive sequential left-multiplication
+    (ref semantics: transforms.py:164-168)."""
+    n = 17
+    e = random_euler(rng, (n,)) * 0.2
+    t = rng.normal(size=(n, 3)).astype(np.float32)
+    out = np.asarray(accumulate_poses(jnp.asarray(e), jnp.asarray(t)))
+
+    steps = np.asarray(pose_to_matrix(jnp.asarray(e), jnp.asarray(t)))
+    acc = [np.eye(4, dtype=np.float32)]
+    for i in range(n):
+        acc.append(acc[-1] @ steps[i])
+    np.testing.assert_allclose(out, np.stack(acc), atol=1e-4)
+
+
+def test_accumulate_with_base(rng):
+    e = random_euler(rng, (4,)) * 0.1
+    t = rng.normal(size=(4, 3)).astype(np.float32)
+    base = np.asarray(pose_to_matrix(jnp.asarray(random_euler(rng)), jnp.asarray(t[0])))
+    out = np.asarray(accumulate_poses(jnp.asarray(e), jnp.asarray(t), base=jnp.asarray(base)))
+    np.testing.assert_allclose(out[0], base, atol=1e-6)
+    plain = np.asarray(accumulate_poses(jnp.asarray(e), jnp.asarray(t)))
+    np.testing.assert_allclose(out, base @ plain, atol=1e-4)
+
+
+def test_relative_pose_from_lines(rng):
+    e = random_euler(rng, (2,)) * 0.3
+    t = rng.normal(size=(2, 3)).astype(np.float32)
+    mats = pose_to_matrix(jnp.asarray(e), jnp.asarray(t))
+    lines = matrix_to_line(mats)
+    r1, t1 = relative_pose(mats[0], mats[1])
+    r2, t2 = relative_pose(lines[0], lines[1])
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+
+
+def test_matrix_to_pose_roundtrip(rng):
+    e = random_euler(rng, (6,))
+    t = rng.normal(size=(6, 3)).astype(np.float32)
+    M = pose_to_matrix(jnp.asarray(e), jnp.asarray(t))
+    e2, t2 = matrix_to_pose(M)
+    np.testing.assert_allclose(np.asarray(e2), e, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), t, atol=1e-6)
+
+
+def test_gradients_flow_through_euler_chain(rng):
+    """The reference's matrix2euler/euler2matrix detach gradients
+    (transforms.py:50,79-89). Ours must not: d(loss)/d(euler) != 0 through
+    a matrix round trip and through pose accumulation."""
+    e = jnp.asarray(random_euler(rng, (4,)) * 0.1)
+    t = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+
+    def loss(e, t):
+        traj = accumulate_poses(e, t)
+        final_rot, final_tr = matrix_to_pose(traj[-1])
+        return jnp.sum(final_rot**2) + jnp.sum(final_tr**2)
+
+    ge, gt = jax.grad(loss, argnums=(0, 1))(e, t)
+    assert np.isfinite(np.asarray(ge)).all() and np.isfinite(np.asarray(gt)).all()
+    assert np.abs(np.asarray(ge)).max() > 0
+    assert np.abs(np.asarray(gt)).max() > 0
+
+
+def test_jit_and_vmap_compatible(rng):
+    e = jnp.asarray(random_euler(rng, (3, 5)))
+    R = jax.jit(jax.vmap(euler_to_matrix))(e)
+    assert R.shape == (3, 5, 3, 3)
+    back = jax.jit(jax.vmap(matrix_to_euler))(R)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(e), atol=1e-5)
+
+
+@pytest.mark.parametrize("conv", ["yxz", "yxy"])
+def test_convention_consistency(rng, conv):
+    """matrix_to_euler(euler_to_matrix(e)) == e for supported conventions."""
+    if conv == "yxz":
+        e = random_euler(rng, (8,))
+    else:  # yxy: beta in (0, pi)
+        a = rng.uniform(-np.pi, np.pi, (8,))
+        b = rng.uniform(0.05, np.pi - 0.05, (8,))
+        g = rng.uniform(-np.pi, np.pi, (8,))
+        e = np.stack([a, b, g], axis=-1).astype(np.float32)
+    R = euler_to_matrix(jnp.asarray(e), conv)
+    # yxy euler->matrix in the reference has a known asymmetry (s1*s1 term,
+    # transforms.py:87); we only check yxz roundtrip strictly.
+    if conv == "yxz":
+        np.testing.assert_allclose(
+            np.asarray(matrix_to_euler(R, conv)), e, atol=1e-5
+        )
+    else:
+        assert R.shape == (8, 3, 3)
