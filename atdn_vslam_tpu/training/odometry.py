@@ -195,7 +195,11 @@ def load_checkpoint(
 
     path = checkpoint_path(config, stage)
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path, target=jax.device_get(target))
+        restored = ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(item=jax.device_get(target)),
+        )
+    return restored
 
 
 def warm_start(

@@ -1,0 +1,114 @@
+"""Tests for the sharded odometry train step: 8-device CPU mesh,
+checkpoint save/restore, stage warm-start."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.config import Config, LossConfig, TrainConfig
+from atdn_vslam_tpu.models.odometry import ATDNVO
+from atdn_vslam_tpu.parallel import make_mesh, shard_batch
+from atdn_vslam_tpu.training.odometry import (
+    init_state,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+    train_epoch,
+    warm_start,
+)
+
+# smallest spatial size that survives the encoder's /32 + s3 conv stack
+B, T, H, W = 8, 2, 96, 192
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ATDNVO()
+    cfg = TrainConfig(batch_size=B, sequence_length=T, lr=1e-3)
+    sample = jnp.zeros((B, T, H, W, 2))
+    state = init_state(model, cfg, steps_total=100, sample_flows=sample)
+    return model, cfg, state
+
+
+def _batch(rng, b=B):
+    return (
+        jnp.asarray(rng.normal(size=(b, T, H, W, 2)).astype(np.float32)) * 10,
+        jnp.asarray(rng.normal(size=(b, T, 3)).astype(np.float32)) * 0.02,
+        jnp.asarray(rng.normal(size=(b, T, 3)).astype(np.float32)),
+    )
+
+
+def test_train_step_unsharded(setup, rng):
+    model, cfg, state = setup
+    step = make_train_step(model, cfg, LossConfig(), 100, donate=False)
+    flows, rot, tr = _batch(rng)
+    new_state, metrics = step(state, flows, rot, tr)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(new_state.step) == 1
+
+
+def test_train_step_sharded_8dev(setup, rng):
+    """Batch sharded over the 8-device data axis must give the same
+    loss as the unsharded step (GSPMD correctness)."""
+    model, cfg, state = setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+
+    flows, rot, tr = _batch(rng)
+    plain = make_train_step(model, cfg, LossConfig(), 100, donate=False)
+    _, m_plain = plain(state, flows, rot, tr)
+
+    sharded = make_train_step(
+        model, cfg, LossConfig(), 100, mesh=mesh, donate=False
+    )
+    sflows, srot, str_ = shard_batch(mesh, (flows, rot, tr))
+    _, m_shard = sharded(state, sflows, srot, str_)
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_shard["loss"]), rtol=1e-4
+    )
+
+
+def test_loss_decreases_over_epoch(setup, rng):
+    model, cfg, state = setup
+    step = make_train_step(model, cfg, LossConfig(), 100, donate=False)
+    batch = _batch(rng)
+    batches = [batch] * 30
+    state, losses = train_epoch(step, state, batches)
+    assert min(losses[-5:]) < losses[0]
+
+
+def test_shard_batch_rejects_indivisible(rng):
+    mesh = make_mesh()
+    with pytest.raises(ValueError):
+        shard_batch(mesh, (jnp.zeros((3, 4)),))
+
+
+def test_checkpoint_roundtrip_and_warmstart(setup, tmp_path, rng):
+    model, cfg, state = setup
+    config = Config(checkpoint_dir=str(tmp_path))
+    step = make_train_step(model, cfg, LossConfig(), 100, donate=False)
+    flows, rot, tr = _batch(rng)
+    state2, _ = step(state, flows, rot, tr)
+    save_checkpoint(config, stage=1, state=state2)
+
+    restored = load_checkpoint(config, stage=1, target=state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state2.params)[0]),
+    )
+    assert int(restored.step) == 1
+
+    # stage-2 warm start: params come from stage 1, fresh step/opt
+    config2 = Config(
+        checkpoint_dir=str(tmp_path),
+        train=TrainConfig(stage=2),
+    )
+    warm = warm_start(config2, state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(warm.params)[0]),
+        np.asarray(jax.tree.leaves(state2.params)[0]),
+    )
+    assert int(warm.step) == 0
