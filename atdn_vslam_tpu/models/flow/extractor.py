@@ -1,0 +1,106 @@
+"""Feature/context encoders for the flow network.
+
+Re-design of the reference ``BasicEncoder`` / ``ResidualBlock``
+(ref: GMA/core/extractor.py:6-189), NHWC with a compute-dtype knob for
+bfloat16 mixed precision (the reference wraps these in torch autocast,
+GMA/core/network.py:85,93).
+
+Structure (extractor.py:116-189): conv7 s2 (64) -> norm -> relu ->
+2x ResidualBlock(64) -> 2x ResidualBlock(96, first s2) ->
+2x ResidualBlock(128, first s2) -> 1x1 conv to output_dim. The feature
+encoder uses instance norm, the context encoder batch norm
+(network.py:40-41).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Non-affine instance norm over spatial dims (torch
+    InstanceNorm2d defaults: affine=False, no running stats)."""
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class _Norm(nn.Module):
+    kind: str  # "instance" | "batch" | "group" | "none"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.kind == "instance":
+            return instance_norm(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        if self.kind == "group":
+            return nn.GroupNorm(
+                num_groups=min(8, x.shape[-1] // 8), dtype=self.dtype
+            )(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """conv3-norm-relu x2 + optional strided 1x1 downsample
+    (ref: extractor.py:6-55)."""
+
+    features: int
+    norm: str = "instance"
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        s = (self.stride, self.stride)
+        y = nn.Conv(
+            self.features, (3, 3), strides=s,
+            padding=((1, 1), (1, 1)), dtype=self.dtype,
+        )(x)
+        y = jax.nn.relu(_Norm(self.norm, self.dtype)(y, train))
+        y = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+        )(y)
+        y = jax.nn.relu(_Norm(self.norm, self.dtype)(y, train))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(
+                self.features, (1, 1), strides=s, dtype=self.dtype
+            )(x)
+            x = _Norm(self.norm, self.dtype)(x, train)
+        return jax.nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """1/8-resolution feature encoder (ref: extractor.py:116-189)."""
+
+    output_dim: int = 256
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            dtype=self.dtype,
+        )(x)
+        x = jax.nn.relu(_Norm(self.norm, self.dtype)(x, train))
+        for features, stride in ((64, 1), (96, 2), (128, 2)):
+            x = ResidualBlock(
+                features, self.norm, stride, dtype=self.dtype
+            )(x, train)
+            x = ResidualBlock(features, self.norm, 1, dtype=self.dtype)(
+                x, train
+            )
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype)(x)

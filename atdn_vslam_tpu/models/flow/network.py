@@ -1,0 +1,166 @@
+"""RAFTGMA — recurrent optical-flow network with global motion
+aggregation.
+
+TPU-native re-design of ref: GMA/core/network.py:26-129:
+
+  * NHWC throughout; compute dtype bfloat16 on TPU (the reference's
+    torch autocast, network.py:85,93,112), correlation volume and flow
+    state in float32 (network.py:88-89);
+  * the 12-iteration update loop is a ``nn.scan`` (one compiled step,
+    shared params) instead of a python loop (network.py:107-124);
+  * the attention matrix is never materialized — q/k are computed once
+    and ``softmax(q k^T) v`` is fused per iteration (see
+    ops/attention.py and models/flow/gma.py);
+  * in test mode the learned convex upsampling runs once on the final
+    flow instead of every iteration (the reference upsamples every
+    iteration even in test mode and discards 11 of them,
+    network.py:116-127).
+
+Hyperparameters fixed by the reference: hidden/context dim 128,
+4 correlation levels, radius 4 (network.py:31-34).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from atdn_vslam_tpu.models.flow.extractor import BasicEncoder
+from atdn_vslam_tpu.models.flow.gma import AttentionQK
+from atdn_vslam_tpu.models.flow.update import GMAUpdateBlock
+from atdn_vslam_tpu.ops.bilinear import coords_grid
+from atdn_vslam_tpu.ops.corr_lookup import (
+    build_corr_pyramid,
+    lookup_corr_pyramid,
+)
+from atdn_vslam_tpu.ops.upsample import convex_upsample
+
+
+class _UpdateStep(nn.Module):
+    """One scanned recurrence step: corr lookup -> GMA update -> flow
+    integrate (ref: network.py:107-122)."""
+
+    corr_radius: int
+    hidden_dim: int
+    heads: int
+    dtype: Any
+    use_pallas: bool | None
+    upsample_in_scan: bool
+
+    @nn.compact
+    def __call__(self, carry, inp, q, k, pyramid):
+        net, coords1 = carry
+        b, h, w, _ = coords1.shape
+        coords0 = coords_grid(h, w)[None]
+        corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
+        flow = coords1 - coords0
+
+        net, up_mask, delta_flow = GMAUpdateBlock(
+            self.hidden_dim, self.heads, self.dtype, self.use_pallas
+        )(
+            net,
+            inp,
+            corr.astype(self.dtype),
+            flow.astype(self.dtype),
+            q,
+            k,
+        )
+        coords1 = coords1 + delta_flow.astype(jnp.float32)
+
+        if self.upsample_in_scan:
+            out = convex_upsample(
+                (coords1 - coords0), up_mask.astype(jnp.float32)
+            )
+        else:
+            out = up_mask
+        return (net, coords1), out
+
+
+class RAFTGMA(nn.Module):
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    heads: int = 1
+    dtype: Any = jnp.float32
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        image1: jax.Array,
+        image2: jax.Array,
+        train: bool = False,
+        test_mode: bool = True,
+        flow_init: jax.Array | None = None,
+    ):
+        """Estimate flow between an RGB frame pair.
+
+        :param image1, image2: (B, H, W, 3) RGB in [0, 255]; H and W
+            must be multiples of 8.
+        :return: test_mode -> (low-res flow (B, H/8, W/8, 2),
+            upsampled flow (B, H, W, 2)), matching network.py:126-127;
+            otherwise a (iters, B, H, W, 2) stack of upsampled
+            predictions for the sequence loss (network.py:106-129).
+        """
+        if image1.shape[-3] % 8 or image1.shape[-2] % 8:
+            raise ValueError(
+                f"Image size {image1.shape[-3:-1]} not divisible by 8"
+            )
+        image1 = 2.0 * (image1 / 255.0) - 1.0
+        image2 = 2.0 * (image2 / 255.0) - 1.0
+
+        # feature encoder over both frames in one batched pass
+        fmaps = BasicEncoder(256, "instance", dtype=self.dtype)(
+            jnp.concatenate([image1, image2], axis=0), train
+        )
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        pyramid = tuple(
+            build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        )
+
+        # context encoder + attention projections
+        cnet = BasicEncoder(
+            self.hidden_dim + self.context_dim, "batch", dtype=self.dtype
+        )(image1, train)
+        net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
+        net = jnp.tanh(net)
+        inp = jax.nn.relu(inp)
+        q, k = AttentionQK(self.heads, 128, dtype=self.dtype)(inp)
+
+        b, h8, w8, _ = net.shape
+        coords0 = coords_grid(h8, w8)[None]
+        coords1 = jnp.broadcast_to(coords0, (b, h8, w8, 2))
+        if flow_init is not None:
+            coords1 = coords1 + flow_init
+
+        upsample_in_scan = not test_mode
+        scan = nn.scan(
+            _UpdateStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.iters,
+        )(
+            self.corr_radius,
+            self.hidden_dim,
+            self.heads,
+            self.dtype,
+            self.use_pallas,
+            upsample_in_scan,
+        )
+        (net, coords1), outs = scan((net, coords1), inp, q, k, pyramid)
+
+        flow_low = coords1 - coords0
+        if test_mode:
+            final_mask = outs[-1]
+            flow_up = convex_upsample(
+                flow_low, final_mask.astype(jnp.float32)
+            )
+            return flow_low, flow_up
+        return outs

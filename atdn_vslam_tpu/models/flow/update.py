@@ -1,0 +1,104 @@
+"""GMA update block: motion encoder, separable ConvGRU, flow/mask heads.
+
+Re-design of ref: GMA/core/update.py:7-139 (NHWC, compute-dtype knob).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from atdn_vslam_tpu.models.flow.gma import Aggregate
+
+
+def _conv(features, kernel, dtype):
+    pad = tuple((k // 2, k // 2) for k in kernel)
+    return nn.Conv(features, kernel, padding=pad, dtype=dtype)
+
+
+class FlowHead(nn.Module):
+    """conv3 -> relu -> conv3 -> delta flow (ref: update.py:7-15)."""
+
+    hidden: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jax.nn.relu(_conv(self.hidden, (3, 3), self.dtype)(x))
+        return _conv(2, (3, 3), self.dtype)(x)
+
+
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) ConvGRU (ref: update.py:36-63)."""
+
+    hidden_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        for kernel in ((1, 5), (5, 1)):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = jax.nn.sigmoid(_conv(self.hidden_dim, kernel, self.dtype)(hx))
+            r = jax.nn.sigmoid(_conv(self.hidden_dim, kernel, self.dtype)(hx))
+            q = jnp.tanh(
+                _conv(self.hidden_dim, kernel, self.dtype)(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1.0 - z) * h + z * q
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    """Fuse correlation features + current flow into 128-ch motion
+    features (ref: update.py:66-84)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
+        cor = jax.nn.relu(_conv(256, (1, 1), self.dtype)(corr))
+        cor = jax.nn.relu(_conv(192, (3, 3), self.dtype)(cor))
+        flo = jax.nn.relu(_conv(128, (7, 7), self.dtype)(flow))
+        flo = jax.nn.relu(_conv(64, (3, 3), self.dtype)(flo))
+        out = jax.nn.relu(
+            _conv(126, (3, 3), self.dtype)(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)  # 128 channels
+
+
+class GMAUpdateBlock(nn.Module):
+    """One recurrent flow update (ref: update.py:112-139):
+    motion features -> globally aggregated motion -> SepConvGRU ->
+    (new hidden, upsample-mask logits, delta flow)."""
+
+    hidden_dim: int = 128
+    heads: int = 1
+    dtype: Any = jnp.float32
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        net: jax.Array,
+        inp: jax.Array,
+        corr: jax.Array,
+        flow: jax.Array,
+        q: jax.Array,
+        k: jax.Array,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        motion = BasicMotionEncoder(self.dtype)(flow, corr)
+        motion_global = Aggregate(
+            self.heads, 128, self.dtype, self.use_pallas
+        )(q, k, motion)
+        cat = jnp.concatenate([inp, motion, motion_global], axis=-1)
+        net = SepConvGRU(self.hidden_dim, self.dtype)(net, cat)
+        delta_flow = FlowHead(256, self.dtype)(net)
+        mask = _conv(256, (3, 3), self.dtype)(net)
+        mask = _conv(64 * 9, (1, 1), self.dtype)(jax.nn.relu(mask))
+        return net, 0.25 * mask, delta_flow

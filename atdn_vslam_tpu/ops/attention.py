@@ -1,0 +1,175 @@
+"""GMA attention-aggregation: fused softmax(q k^T) v.
+
+The reference materializes the full token-token similarity matrix and
+its softmax once, then re-multiplies it with new values every update
+iteration (ref: GMA/core/gma.py:54-76 builds ``attn``; GMA/core/
+update.py:125-130 applies it 12x). At KITTI resolution that matrix is
+(H/8*W/8)^2 = 7238^2 ~= 52M floats (210 MB) — an HBM-bandwidth
+disaster to read 12 times.
+
+TPU-native design: never materialize it. Each iteration computes
+``out = softmax(scale * q k^T) v`` with an online-softmax (flash)
+Pallas kernel — q/k are loop-invariant, v changes per iteration. The
+recompute costs ~27 GFLOP per call on the MXU, far cheaper than
+streaming 210 MB from HBM, and VMEM holds only (bq x bk) score tiles.
+
+``attend`` dispatches to the Pallas kernel on TPU and to the XLA
+reference path elsewhere (tests, CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def attend_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
+) -> jax.Array:
+    """XLA reference: out = softmax(scale * q k^T) v.
+
+    :param q, k: (B, N, D); v: (B, N, Dv). float32 accumulation.
+    """
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    s = jnp.einsum(
+        "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bnm,bmd->bnd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, n_valid: int, bk: int
+):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+
+    # mask padded key columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+    s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m_prev = m_scr[:]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = correction * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bq", "bk", "interpret")
+)
+def flash_attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    bq: int = 256,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas online-softmax attention for (B, N, D) tensors.
+
+    Handles N not a multiple of the tile sizes by zero-padding and
+    masking padded keys to -inf before the softmax.
+    """
+    b, n, d = q.shape
+    dv = v.shape[-1]
+    scale_val = d**-0.5 if scale is None else scale
+
+    n_q = _round_up(n, bq)
+    n_k = _round_up(n, bk)
+    qp = jnp.pad(q, ((0, 0), (0, n_q - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_k - n), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_k - n), (0, 0)))
+
+    grid = (b, n_q // bq, n_k // bk)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale_val, n_valid=n, bk=bk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d), lambda b_, i, j: (b_, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d), lambda b_, i, j: (b_, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, dv), lambda b_, i, j: (b_, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, dv), lambda b_, i, j: (b_, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_q, dv), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_q * n_k * (d + dv),
+            bytes_accessed=4 * b * (n_q * d + n_k * (d + dv) + n_q * dv),
+            transcendentals=b * n_q * n_k,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n]
+
+
+def attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return flash_attend(q, k, v, scale)
+    return attend_reference(q, k, v, scale)

@@ -1,0 +1,115 @@
+"""Array-backed keyframe store.
+
+The reference keeps keyframes as a python list of ``Frame`` records and
+dumps one torch ``.pth`` RGB file per keyframe plus a ``poses.pth``
+(ref: slam_framework/frame.py:1-16, neural_slam.py:149-153,212-215);
+relocalization then *loops in python* over every keyframe to find the
+nearest embedding (neural_slam.py:373-384).
+
+TPU-native design: poses and embeddings live in contiguous arrays
+(append is an index write), nearest-neighbor search is one batched
+distance computation, and persistence is three ``.npy`` artifacts
+(poses.npy, embeddings.npy, rgb/NNNNNN.npy) — a format a multi-host
+deployment can shard by keyframe range.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+
+class KeyframeStore:
+    def __init__(self, base_path: str, capacity: int = 4096):
+        self.base_path = base_path
+        self.rgb_dir = os.path.join(base_path, "rgb")
+        self.capacity = capacity
+        self.count = 0
+        self.poses = np.zeros((capacity, 4, 4), np.float64)
+        self.embeddings: np.ndarray | None = None
+
+    # -- lifecycle ------------------------------------------------------
+
+    def initialize_cold(self) -> None:
+        """Create/wipe the on-disk store (ref: neural_slam.py:108-123)."""
+        os.makedirs(self.rgb_dir, exist_ok=True)
+        for f in glob.glob(os.path.join(self.rgb_dir, "*.npy")):
+            os.remove(f)
+        for name in ("poses.npy", "embeddings.npy"):
+            p = os.path.join(self.base_path, name)
+            if os.path.exists(p):
+                os.remove(p)
+        self.count = 0
+        self.embeddings = None
+
+    def load(self, with_embeddings: bool = False) -> None:
+        """Warm start from disk (ref: neural_slam.py:77-106)."""
+        poses = np.load(os.path.join(self.base_path, "poses.npy"))
+        n = len(poses)
+        if n > self.capacity:
+            self.capacity = n
+            self.poses = np.zeros((self.capacity, 4, 4), np.float64)
+        self.poses[:n] = poses
+        self.count = n
+        if with_embeddings:
+            self.embeddings = np.load(
+                os.path.join(self.base_path, "embeddings.npy")
+            )
+
+    def save(self) -> None:
+        np.save(
+            os.path.join(self.base_path, "poses.npy"),
+            self.poses[: self.count],
+        )
+        if self.embeddings is not None:
+            np.save(
+                os.path.join(self.base_path, "embeddings.npy"),
+                self.embeddings[: self.count],
+            )
+
+    # -- append / access ------------------------------------------------
+
+    def rgb_path(self, index: int) -> str:
+        return os.path.join(self.rgb_dir, f"{index:06d}.npy")
+
+    def append(self, rgb: np.ndarray, pose: np.ndarray) -> int:
+        """Register a keyframe: RGB (H, W, 3) uint8 to disk, pose to the
+        array (ref: neural_slam.py:212-215)."""
+        if self.count >= self.capacity:
+            grown = np.zeros((self.capacity * 2, 4, 4), np.float64)
+            grown[: self.count] = self.poses[: self.count]
+            self.poses = grown
+            self.capacity *= 2
+        idx = self.count
+        os.makedirs(self.rgb_dir, exist_ok=True)
+        np.save(self.rgb_path(idx), np.asarray(rgb, np.uint8))
+        self.poses[idx] = pose
+        self.count += 1
+        return idx
+
+    def read_rgb(self, index: int) -> np.ndarray:
+        return np.load(self.rgb_path(index))
+
+    def set_embeddings(self, embeddings: np.ndarray) -> None:
+        if len(embeddings) != self.count:
+            raise ValueError(
+                f"{len(embeddings)} embeddings for {self.count} keyframes"
+            )
+        self.embeddings = np.asarray(embeddings)
+
+    def nearest(self, code: np.ndarray) -> tuple[int, np.ndarray]:
+        """Nearest keyframe by L2 embedding distance — one vectorized
+        distance computation (replaces the python loop at
+        neural_slam.py:373-384).
+
+        :return: (index, distances (count,))."""
+        if self.embeddings is None:
+            raise RuntimeError("Store has no embeddings; run mapping first")
+        emb = self.embeddings[: self.count].reshape(self.count, -1)
+        d = np.linalg.norm(emb - code.reshape(1, -1), axis=1)
+        return int(np.argmin(d)), d
+
+    def __len__(self) -> int:
+        return self.count

@@ -1,0 +1,278 @@
+"""SLAM runtime — the NeuralSLAM state machine, TPU-native.
+
+Re-design of ref: slam_framework/neural_slam.py:27-399. Same external
+semantics (mode() / start_odometry / __call__ / end_odometry /
+keyframe indexing / warm starts) with a functional core:
+
+  * the per-frame hot path (flow net -> odometry net -> 4x4 pose) is
+    ONE jitted device function with explicit LSTM carry; only the tiny
+    4x4 accumulation and keyframe decision run on host (float64,
+    matching the reference's CPU-side accumulation,
+    neural_slam.py:204-215);
+  * keyframes live in an array-backed store (slam/keyframes.py);
+  * mapping is the jitted MappingVAE training loop
+    (training/mapping.py) instead of a torch loop inside the class;
+  * relocalization encodes the query, does one vectorized NN search,
+    and refines with a flow+odometry step
+    (ref: neural_slam.py:355-399).
+
+Modes: idle -> odometry -> mapping -> relocalization
+(ref: neural_slam.py:125,135,157,173).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atdn_vslam_tpu.config import Config
+from atdn_vslam_tpu.geometry.se3 import matrix_to_euler, pose_to_matrix
+from atdn_vslam_tpu.models.mapping import MappingVAE
+from atdn_vslam_tpu.models.odometry import ATDNVO
+from atdn_vslam_tpu.models.flow import RAFTGMA
+from atdn_vslam_tpu.slam.keyframes import KeyframeStore
+from atdn_vslam_tpu.training.mapping import train_mapping
+from atdn_vslam_tpu.utils.helpers import log
+
+
+class SlamRuntime:
+    """Thin stateful shell over jitted model steps.
+
+    :param config: full framework config.
+    :param flow_variables: RAFTGMA variables ({"params": ..., ...}).
+    :param odometry_variables: ATDNVO variables.
+    :param mapping_variables: optional pretrained MappingVAE variables
+        (for the "relocalization" warm start).
+    :param start_mode: None (cold), "mapping", or "relocalization"
+        (ref: neural_slam.py:77-125).
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        flow_variables: Any,
+        odometry_variables: Any,
+        mapping_variables: Any | None = None,
+        start_mode: str | None = None,
+    ):
+        self.config = config
+        cfg = config.slam
+        self._hw = (cfg.image_height, cfg.image_width)
+        self._rot_threshold = np.deg2rad(cfg.rotation_threshold_deg)
+        self._tr_threshold = cfg.translation_threshold
+
+        self.flow_model = RAFTGMA(
+            iters=config.flow.iters,
+            corr_levels=config.flow.corr_levels,
+            corr_radius=config.flow.corr_radius,
+            heads=config.flow.num_heads,
+            dtype=jnp.bfloat16 if config.flow.mixed_precision else jnp.float32,
+            use_pallas=config.flow.use_pallas_attention or None,
+        )
+        self.odometry_model = ATDNVO(
+            in_channels=config.odometry.in_channels,
+            compressor=config.odometry.compressor,
+            use_dropout=config.odometry.use_dropout,
+            use_layernorm=config.odometry.use_layernorm,
+            lstm_size=config.odometry.lstm_size,
+        )
+        self.mapping_model = MappingVAE(
+            variational=config.mapping.variational,
+            channels=config.mapping.channels,
+            latent_channels=config.mapping.latent_channels,
+        )
+        self._flow_vars = flow_variables
+        self._odo_vars = odometry_variables
+        self._map_vars = mapping_variables
+
+        self.keyframes = KeyframeStore(
+            config.keyframes_path, config.slam.max_keyframes
+        )
+
+        # jitted hot paths
+        self._odometry_step = jax.jit(self._odometry_step_fn)
+        self._encode = jax.jit(self._encode_fn)
+
+        # odometry state
+        self._carry = self.odometry_model.init_carry(1)
+        self._image_buffer: jax.Array | None = None
+        self._current_pose = np.eye(4, dtype=np.float64)
+        self._propagation = np.eye(4, dtype=np.float64)
+
+        if start_mode == "mapping":
+            self.keyframes.load(with_embeddings=False)
+            self._mode = "odometry"
+            self.end_odometry()
+        elif start_mode == "relocalization":
+            if mapping_variables is None:
+                raise ValueError(
+                    "relocalization warm start needs mapping_variables"
+                )
+            self.keyframes.load(with_embeddings=True)
+            self._mode = "relocalization"
+        else:
+            self.keyframes.initialize_cold()
+            self._mode = "idle"
+
+    # -- jitted cores ---------------------------------------------------
+
+    def _odometry_step_fn(self, flow_vars, odo_vars, im1, im2, carry):
+        """(frame pair, carry) -> (rel pose 4x4 f32, upsampled flow,
+        new carry). The device round trip of the hot loop
+        (ref: neural_slam.py:202-204)."""
+        _, flow = self.flow_model.apply(
+            flow_vars, im1[None], im2[None], test_mode=True
+        )
+        (rot, tr), carry = self.odometry_model.apply(
+            odo_vars, flow[:, None], carry
+        )
+        mat = pose_to_matrix(rot[0, 0], tr[0, 0])
+        return mat, flow[0], carry
+
+    def _encode_fn(self, map_vars, images):
+        return self.mapping_model.apply(
+            map_vars, images, method=self.mapping_model.get_code
+        )
+
+    # -- public API (ref: neural_slam.py:128-285) ----------------------
+
+    def mode(self) -> str:
+        return self._mode
+
+    def start_odometry(self) -> None:
+        if self._mode == "idle":
+            self._mode = "odometry"
+            log("Starting odometry, accepting input image pairs")
+        else:
+            log("Odometry cannot be performed in current SLAM stage")
+
+    def __len__(self) -> int:
+        return len(self.keyframes)
+
+    def get_keyframe(self, index: int):
+        return (
+            self.keyframes.read_rgb(index),
+            self.keyframes.poses[index],
+        )
+
+    def __getitem__(self, index: int):
+        return self.get_keyframe(index)
+
+    def _prepare(self, image: np.ndarray) -> jax.Array:
+        """uint8 (H, W, 3) -> float32 device image at the working
+        resolution (ref: neural_slam.py:197-199)."""
+        im = jnp.asarray(image, jnp.float32)
+        if im.shape[:2] != self._hw:
+            im = jax.image.resize(im, (*self._hw, 3), "bilinear")
+        return im
+
+    def __call__(self, image: np.ndarray):
+        if self._mode == "odometry":
+            return self._odometry_call(image)
+        if self._mode == "relocalization":
+            return self._relocalize(image)
+        raise RuntimeError("SLAM called in invalid state!")
+
+    def _odometry_call(self, image: np.ndarray) -> np.ndarray:
+        im = self._prepare(image)
+        if self._image_buffer is None:
+            self._image_buffer = im
+            self.keyframes.append(
+                np.asarray(im, np.uint8), self._current_pose
+            )
+            return self._current_pose.copy()
+
+        mat, _flow, self._carry = self._odometry_step(
+            self._flow_vars, self._odo_vars, self._image_buffer, im,
+            self._carry,
+        )
+        pred = np.asarray(mat, np.float64)
+        self._current_pose = self._current_pose @ pred
+        if self._decide_keyframe(pred):
+            self.keyframes.append(
+                np.asarray(im, np.uint8), self._current_pose
+            )
+        self._image_buffer = im
+        return self._current_pose.copy()
+
+    def _decide_keyframe(self, pred: np.ndarray) -> bool:
+        """Threshold test on the accumulated motion since the last
+        keyframe (ref: neural_slam.py:288-302)."""
+        self._propagation = self._propagation @ pred
+        rot = np.asarray(
+            matrix_to_euler(jnp.asarray(self._propagation[:3, :3]))
+        )
+        tr = self._propagation[:3, 3]
+        if (
+            np.linalg.norm(rot) > self._rot_threshold
+            or np.linalg.norm(tr) > self._tr_threshold
+        ):
+            self._propagation = np.eye(4, dtype=np.float64)
+            return True
+        return False
+
+    def end_odometry(self) -> None:
+        """Finish odometry -> train the map -> embed keyframes ->
+        relocalization mode (ref: neural_slam.py:141-177)."""
+        if self._mode != "odometry":
+            log("Current state is not odometry")
+            return
+        if len(self.keyframes) == 0:
+            log("There is no explored environment yet!")
+            return
+        self.keyframes.save()
+        log("Odometry ended, starting mapping process...")
+        self._mode = "mapping"
+        self._create_map()
+        self._embed_keyframes()
+        self.keyframes.save()
+        log("Mapping finished, changing to relocalization mode.")
+        self._mode = "relocalization"
+
+    def _create_map(self) -> None:
+        images = np.stack(
+            [self.keyframes.read_rgb(i) for i in range(len(self.keyframes))]
+        )
+        state = train_mapping(
+            self.mapping_model,
+            self.config.mapping_train,
+            images,
+            log_fn=lambda e, l: None,
+        )
+        self._map_vars = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+
+    def _embed_keyframes(self, batch: int = 8) -> None:
+        codes = []
+        n = len(self.keyframes)
+        for start in range(0, n, batch):
+            imgs = np.stack(
+                [
+                    self.keyframes.read_rgb(i)
+                    for i in range(start, min(start + batch, n))
+                ]
+            ).astype(np.float32)
+            mu = self._encode(self._map_vars, jnp.asarray(imgs))
+            codes.append(np.asarray(mu).reshape(len(imgs), -1))
+        self.keyframes.set_embeddings(np.concatenate(codes, axis=0))
+
+    def _relocalize(self, image: np.ndarray):
+        """Query -> (initial pose, refined pose, distances)
+        (ref: neural_slam.py:355-399)."""
+        im = self._prepare(image)
+        mu = self._encode(self._map_vars, im[None])
+        idx, distances = self.keyframes.nearest(np.asarray(mu))
+        initial = self.keyframes.poses[idx].copy()
+
+        key_rgb = self._prepare(self.keyframes.read_rgb(idx))
+        carry = self.odometry_model.init_carry(1)
+        mat, _flow, _carry = self._odometry_step(
+            self._flow_vars, self._odo_vars, key_rgb, im, carry
+        )
+        refined = initial @ np.asarray(mat, np.float64)
+        return initial, refined, distances

@@ -1,0 +1,97 @@
+"""Tests for the RAFTGMA flow network (parity target: ref
+GMA/core/network.py). Small spatial sizes for CPU speed — the
+architecture is resolution-agnostic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.models.flow import RAFTGMA
+
+H, W = 64, 96  # /8 -> 8x12 = 96 tokens
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = RAFTGMA(iters=3, use_pallas=False)
+    im = jnp.zeros((1, H, W, 3))
+    vars_ = model.init(jax.random.key(0), im, im)
+    return model, vars_
+
+
+def test_test_mode_shapes(model_and_vars):
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(0)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    flow_low, flow_up = model.apply(vars_, im1, im2, test_mode=True)
+    assert flow_low.shape == (1, H // 8, W // 8, 2)
+    assert flow_up.shape == (1, H, W, 2)
+    assert np.isfinite(np.asarray(flow_up)).all()
+
+
+def test_train_mode_returns_all_iters(model_and_vars):
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(1)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    preds, mutated = model.apply(
+        vars_, im1, im2, True, False, mutable=["batch_stats"]
+    )
+    assert preds.shape == (3, 1, H, W, 2)
+    assert "batch_stats" in mutated
+
+
+def test_identical_frames_give_small_flow(model_and_vars):
+    """Zero-motion input through a random-init net should produce flow
+    bounded by the correlation window dynamics (sanity, not parity)."""
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(2)
+    im = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    _, flow_up = model.apply(vars_, im, im, test_mode=True)
+    assert np.isfinite(np.asarray(flow_up)).all()
+
+
+def test_flow_init_carries(model_and_vars):
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(3)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    init = jnp.ones((1, H // 8, W // 8, 2)) * 2.0
+    low0, _ = model.apply(vars_, im1, im2, test_mode=True)
+    low1, _ = model.apply(vars_, im1, im2, test_mode=True, flow_init=init)
+    assert not np.allclose(np.asarray(low0), np.asarray(low1))
+
+
+def test_indivisible_size_raises(model_and_vars):
+    model, vars_ = model_and_vars
+    im = jnp.zeros((1, 60, 96, 3))
+    with pytest.raises(ValueError):
+        model.apply(model_and_vars[1], im, im)
+
+
+def test_gradients_flow_sequence_loss(model_and_vars):
+    """RAFT-style sequence loss (gamma-decayed L1 over iterations,
+    ref GMA/train.py:41-65) backprops through the scan."""
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(4)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(1, H, W, 2)).astype(np.float32))
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {**vars_, "params": params}, im1, im2, True, False,
+            mutable=["batch_stats"],
+        )
+        gammas = 0.8 ** jnp.arange(preds.shape[0] - 1, -1, -1)
+        return jnp.sum(
+            gammas * jnp.mean(jnp.abs(preds - target[None]), axis=(1, 2, 3, 4))
+        )
+
+    grads = jax.grad(loss_fn)(vars_["params"])
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    nonzero = sum(float(jnp.sum(jnp.abs(g)) > 0) for g in leaves)
+    assert nonzero > len(leaves) * 0.8

@@ -1,0 +1,142 @@
+"""Unit tests for the hot-path ops: bilinear sampling, correlation
+pyramid + lookup, attention (XLA vs flash-interpret), convex upsampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.ops import (
+    attend_reference,
+    bilinear_sample,
+    build_corr_pyramid,
+    convex_upsample,
+    coords_grid,
+    lookup_corr_pyramid,
+    upsample_flow_bilinear,
+)
+from atdn_vslam_tpu.ops.attention import flash_attend
+
+
+def test_coords_grid():
+    g = np.asarray(coords_grid(3, 5))
+    assert g.shape == (3, 5, 2)
+    assert g[1, 4, 0] == 4  # x
+    assert g[1, 4, 1] == 1  # y
+
+
+def test_bilinear_exact_on_integer_coords(rng):
+    img = jnp.asarray(rng.normal(size=(2, 6, 8, 3)).astype(np.float32))
+    pts = jnp.asarray([[[1.0, 2.0], [0.0, 0.0], [7.0, 5.0]]] * 2)
+    out = np.asarray(bilinear_sample(img, pts))
+    np.testing.assert_allclose(out[0, 0], np.asarray(img[0, 2, 1]), atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], np.asarray(img[0, 0, 0]), atol=1e-6)
+    np.testing.assert_allclose(out[1, 2], np.asarray(img[1, 5, 7]), atol=1e-6)
+
+
+def test_bilinear_interpolates(rng):
+    img = jnp.asarray(rng.normal(size=(1, 4, 4, 1)).astype(np.float32))
+    pts = jnp.asarray([[[1.5, 2.0]]])
+    out = float(bilinear_sample(img, pts)[0, 0, 0])
+    expected = 0.5 * float(img[0, 2, 1, 0]) + 0.5 * float(img[0, 2, 2, 0])
+    assert abs(out - expected) < 1e-6
+
+
+def test_bilinear_zero_padding_outside():
+    img = jnp.ones((1, 4, 4, 1))
+    pts = jnp.asarray([[[-2.0, 1.0], [10.0, 1.0], [-0.5, 0.0]]])
+    out = np.asarray(bilinear_sample(img, pts))[0, :, 0]
+    assert out[0] == 0.0 and out[1] == 0.0
+    # half-outside tap: only in-bounds half contributes
+    np.testing.assert_allclose(out[2], 0.5, atol=1e-6)
+
+
+def test_corr_pyramid_shapes(rng):
+    f1 = jnp.asarray(rng.normal(size=(1, 8, 12, 16)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 8, 12, 16)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, num_levels=3)
+    assert pyr[0].shape == (1, 96, 8, 12, 1)
+    assert pyr[1].shape == (1, 96, 4, 6, 1)
+    assert pyr[2].shape == (1, 96, 2, 3, 1)
+
+
+def test_corr_values_are_scaled_dots(rng):
+    c = 16
+    f1 = jnp.asarray(rng.normal(size=(1, 4, 5, c)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 4, 5, c)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, 1)
+    got = float(pyr[0][0, 7, 2, 3, 0])  # query pixel 7=(1,2), target (2,3)
+    expected = float(jnp.dot(f1[0, 1, 2], f2[0, 2, 3]) / np.sqrt(c))
+    assert abs(got - expected) < 1e-5
+
+
+def test_corr_lookup_center_matches_identity(rng):
+    """With coords == grid, the window center tap equals the diagonal
+    correlation value."""
+    f = jnp.asarray(rng.normal(size=(1, 6, 6, 8)).astype(np.float32))
+    pyr = build_corr_pyramid(f, f, 1)
+    coords = coords_grid(6, 6)[None]
+    out = lookup_corr_pyramid(pyr, coords, radius=2)
+    assert out.shape == (1, 6, 6, 25)
+    center = np.asarray(out)[0, :, :, 12]  # (2r+1)^2 center index
+    diag = np.asarray(pyr[0]).reshape(36, 36)[np.arange(36), np.arange(36)]
+    np.testing.assert_allclose(center.reshape(36), diag, atol=1e-5)
+
+
+def test_attend_reference_is_softmax_matmul(rng):
+    q = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 10, 4)).astype(np.float32))
+    out = np.asarray(attend_reference(q, k, v, scale=1.0))
+    s = np.einsum("bnd,bmd->bnm", np.asarray(q), np.asarray(k))
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    expected = np.einsum("bnm,bmd->bnd", p, np.asarray(v))
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [64, 100, 300])
+def test_flash_attend_matches_reference(rng, n):
+    """Pallas flash kernel (interpret mode on CPU) == XLA reference,
+    including non-tile-aligned N."""
+    q = jnp.asarray(rng.normal(size=(1, n, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, n, 16)).astype(np.float32))
+    ref = np.asarray(attend_reference(q, k, v))
+    got = np.asarray(
+        flash_attend(q, k, v, bq=64, bk=64, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_convex_upsample_constant_flow():
+    """A spatially constant flow upsamples to the constant * factor for
+    any mask (convex combination of equal values)."""
+    flow = jnp.ones((1, 4, 6, 2)) * jnp.asarray([3.0, -2.0])
+    mask = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, 6, 9 * 64)).astype(np.float32)
+    )
+    up = np.asarray(convex_upsample(flow, mask))
+    assert up.shape == (1, 32, 48, 2)
+    # interior pixels: all 9 taps equal -> exactly 8x flow
+    np.testing.assert_allclose(up[0, 8:24, 8:40, 0], 24.0, atol=1e-4)
+    np.testing.assert_allclose(up[0, 8:24, 8:40, 1], -16.0, atol=1e-4)
+
+
+def test_convex_upsample_selects_center():
+    """A mask that puts all weight on the center tap reproduces
+    nearest-neighbor 8x upsampling of 8*flow."""
+    rng = np.random.default_rng(1)
+    flow = jnp.asarray(rng.normal(size=(1, 3, 4, 2)).astype(np.float32))
+    mask = np.full((1, 3, 4, 9, 8, 8), -1e9, np.float32)
+    mask[:, :, :, 4] = 0.0  # center neighbor
+    up = np.asarray(convex_upsample(flow, jnp.asarray(mask.reshape(1, 3, 4, -1))))
+    expected = np.repeat(np.repeat(np.asarray(flow) * 8, 8, 1), 8, 2)
+    np.testing.assert_allclose(up, expected, atol=1e-5)
+
+
+def test_bilinear_flow_upsample():
+    flow = jnp.ones((1, 4, 4, 2))
+    up = upsample_flow_bilinear(flow, 8)
+    assert up.shape == (1, 32, 32, 2)
+    np.testing.assert_allclose(np.asarray(up), 8.0, atol=1e-5)

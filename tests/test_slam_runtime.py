@@ -1,0 +1,153 @@
+"""End-to-end SLAM runtime tests on tiny synthetic inputs (parity
+target: ref slam_framework/neural_slam.py and test_slam.py semantics)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.config import (
+    Config,
+    MappingTrainConfig,
+    FlowNetConfig,
+    SlamConfig,
+)
+from atdn_vslam_tpu.models.flow import RAFTGMA
+from atdn_vslam_tpu.models.odometry import ATDNVO
+from atdn_vslam_tpu.slam import KeyframeStore, SlamRuntime
+
+# smallest size that both the flow net (/8) and the ATDNVO encoder
+# (/32 then stride-3 conv) accept
+H, W = 96, 192
+
+
+def tiny_config(tmp_path) -> Config:
+    return Config(
+        keyframes_path=str(tmp_path / "keyframes"),
+        flow=FlowNetConfig(iters=2, mixed_precision=False,
+                           use_pallas_attention=False),
+        slam=SlamConfig(
+            image_height=H, image_width=W,
+            rotation_threshold_deg=0.0,  # register everything
+            translation_threshold=0.0,
+        ),
+        mapping_train=MappingTrainConfig(epochs=2, batch_size=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    flow_model = RAFTGMA(iters=2, use_pallas=False)
+    im = jnp.zeros((1, H, W, 3))
+    flow_vars = flow_model.init(jax.random.key(0), im, im)
+    odo_model = ATDNVO()
+    flows = jnp.zeros((1, 1, H, W, 2))
+    odo_vars = odo_model.init(
+        jax.random.key(1), flows, odo_model.init_carry(1)
+    )
+    return flow_vars, odo_vars
+
+
+def frames(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, 255, (H, W, 3), dtype=np.uint8) for _ in range(n)
+    ]
+
+
+def test_keyframe_store_roundtrip(tmp_path):
+    store = KeyframeStore(str(tmp_path), capacity=4)
+    store.initialize_cold()
+    rng = np.random.default_rng(0)
+    for i in range(6):  # exceeds capacity -> growth
+        store.append(
+            rng.integers(0, 255, (4, 4, 3), dtype=np.uint8),
+            np.eye(4) * (i + 1),
+        )
+    assert len(store) == 6
+    store.set_embeddings(rng.normal(size=(6, 8)))
+    store.save()
+
+    store2 = KeyframeStore(str(tmp_path), capacity=4)
+    store2.load(with_embeddings=True)
+    assert len(store2) == 6
+    np.testing.assert_allclose(store2.poses[3], np.eye(4) * 4)
+    idx, d = store2.nearest(store.embeddings[4])
+    assert idx == 4
+    assert d.shape == (6,)
+
+
+def test_store_nearest_without_embeddings_raises(tmp_path):
+    store = KeyframeStore(str(tmp_path))
+    with pytest.raises(RuntimeError):
+        store.nearest(np.zeros(4))
+
+
+def test_full_slam_lifecycle(tmp_path, model_vars):
+    """idle -> odometry -> mapping -> relocalization on synthetic
+    frames (the reference's test_slam.py flow, hermetic)."""
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    assert slam.mode() == "idle"
+    with pytest.raises(RuntimeError):
+        slam(frames(1)[0])
+
+    slam.start_odometry()
+    assert slam.mode() == "odometry"
+    poses = [slam(f) for f in frames(5)]
+    assert all(p.shape == (4, 4) for p in poses)
+    np.testing.assert_allclose(poses[0], np.eye(4))
+    # zero thresholds -> every frame becomes a keyframe
+    assert len(slam) == 5
+
+    slam.end_odometry()
+    assert slam.mode() == "relocalization"
+    assert slam.keyframes.embeddings is not None
+
+    query = frames(5)[2]  # same generator -> same frame 2
+    initial, refined, distances = slam(query)
+    assert initial.shape == (4, 4) and refined.shape == (4, 4)
+    assert distances.shape == (5,)
+    assert np.isfinite(refined).all()
+
+
+def test_warm_start_relocalization(tmp_path, model_vars):
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam.start_odometry()
+    for f in frames(4):
+        slam(f)
+    slam.end_odometry()
+    map_vars = slam._map_vars
+
+    slam2 = SlamRuntime(
+        cfg, flow_vars, odo_vars,
+        mapping_variables=map_vars, start_mode="relocalization",
+    )
+    assert slam2.mode() == "relocalization"
+    assert len(slam2) == 4
+    initial, refined, distances = slam2(frames(4)[1])
+    assert distances.shape == (4,)
+
+
+def test_keyframe_thresholds_respected(tmp_path, model_vars):
+    """With huge thresholds only the very first frame registers
+    (ref: neural_slam.py:288-302)."""
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        slam=SlamConfig(
+            image_height=H, image_width=W,
+            rotation_threshold_deg=180.0, translation_threshold=1e9,
+        ),
+    )
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam.start_odometry()
+    for f in frames(4):
+        slam(f)
+    assert len(slam) == 1
