@@ -1,0 +1,124 @@
+"""CLI integration tests: train -> evaluate -> kalman -> visualize on a
+synthetic on-disk KITTI dataset (parity surface for the reference's
+root-level scripts)."""
+
+import os
+
+import numpy as np
+import pytest
+
+H, W = 96, 192
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_cli")
+    ds = root / "dataset"
+    (ds / "poses").mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    n = 14
+    from atdn_vslam_tpu.data import write_flow_cache
+
+    mats = [np.eye(4)]
+    for _ in range(n - 1):
+        s = np.eye(4)
+        a = rng.normal(scale=0.02)
+        s[:3, :3] = [
+            [np.cos(a), 0, np.sin(a)],
+            [0, 1, 0],
+            [-np.sin(a), 0, np.cos(a)],
+        ]
+        s[:3, 3] = [0.1, 0.0, 1.0]
+        mats.append(mats[-1] @ s)
+    lines = np.stack([m[:3, :].reshape(12) for m in mats])
+    np.savetxt(ds / "poses" / "00.txt", lines)
+    (ds / "sequences" / "00" / "image_2").mkdir(parents=True)
+    write_flow_cache(
+        str(ds), "00",
+        rng.normal(scale=5, size=(n - 1, H, W, 2)).astype(np.float16),
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(kitti_root, tmp_path_factory):
+    """Run the training CLI for one stage."""
+    from atdn_vslam_tpu.cli.train_odometry import main
+
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    rc = main([
+        "--data-path", str(kitti_root),
+        "--checkpoint-dir", str(ckpt),
+        "--stage", "1", "--epochs", "1",
+        "--batch-size", "4", "--sequence-length", "2",
+        "--lr", "1e-3", "--sequences", "00", "--no-mesh",
+    ])
+    assert rc == 0
+    return ckpt
+
+
+def test_train_writes_checkpoint(trained):
+    assert os.path.isdir(os.path.join(str(trained), "odometry_stage1"))
+
+
+def test_stage2_warm_start(kitti_root, trained):
+    from atdn_vslam_tpu.cli.train_odometry import main
+
+    rc = main([
+        "--data-path", str(kitti_root),
+        "--checkpoint-dir", str(trained),
+        "--stage", "2", "--epochs", "1",
+        "--batch-size", "4", "--sequence-length", "2",
+        "--lr", "1e-3", "--sequences", "00", "--no-mesh",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(str(trained), "odometry_stage2"))
+
+
+def test_evaluate_and_postprocess(kitti_root, trained, tmp_path, monkeypatch):
+    import yaml
+
+    from atdn_vslam_tpu.cli.evaluate_odometry import main as eval_main
+    from atdn_vslam_tpu.cli.kalman import main as kalman_main
+    from atdn_vslam_tpu.cli.visualize import main as viz_main
+
+    # slam config at test resolution so the eval template matches
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            {"slam": {"image_height": H, "image_width": W}}
+        )
+    )
+    out = tmp_path / "results"
+    rc = eval_main([
+        "--config", str(cfg_path),
+        "--data-path", str(kitti_root),
+        "--checkpoint-dir", str(trained),
+        "--stage", "1", "--sequence", "00",
+        "--direction", "both", "--exp", str(out), "--plot",
+    ])
+    assert rc == 0
+    f_txt = out / "00_f.txt"
+    b_txt = out / "00_b.txt"
+    assert f_txt.exists() and b_txt.exists()
+    assert (out / "00_f.png").exists()
+    traj = np.loadtxt(f_txt)
+    assert traj.shape[1] == 12
+
+    rc = kalman_main([
+        "--results", str(out), "--sequence", "00",
+        "--gt-dir", str(kitti_root / "dataset" / "poses"),
+    ])
+    assert rc == 0
+    assert (out / "00_k.txt").exists()
+
+    plots = tmp_path / "plots"
+    rc = viz_main([
+        "--pred", str(out / "00_k.txt"),
+        "--gt", str(kitti_root / "dataset" / "poses" / "00.txt"),
+        "--out-dir", str(plots),
+    ])
+    assert rc == 0
+    assert (plots / "00_k_xz.png").exists()
+    assert (plots / "00_k_ape.png").exists()
+    assert (plots / "00_k_xyz.png").exists()

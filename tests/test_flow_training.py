@@ -1,0 +1,83 @@
+"""Tests for flow (RAFTGMA) training: sequence loss + sharded step
+(parity target: ref GMA/train.py:41-75)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atdn_vslam_tpu.models.flow import RAFTGMA
+from atdn_vslam_tpu.parallel import make_mesh, shard_batch
+from atdn_vslam_tpu.training.flow import (
+    init_state,
+    make_optimizer,
+    make_train_step,
+    sequence_loss,
+)
+
+H, W = 64, 96
+
+
+def test_sequence_loss_gamma_weighting(rng):
+    preds = jnp.asarray(rng.normal(size=(3, 2, 8, 8, 2)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+    valid = jnp.ones((2, 8, 8))
+    loss, metrics = sequence_loss(preds, gt, valid, gamma=0.8)
+    # manual: sum_i 0.8^(n-1-i) * mean_l1(pred_i)
+    expected = 0.0
+    for i, g in enumerate([0.64, 0.8, 1.0]):
+        l1 = np.abs(np.asarray(preds[i]) - np.asarray(gt)).sum(-1).mean()
+        expected += g * l1
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+    assert 0 <= float(metrics["1px"]) <= 1
+
+
+def test_sequence_loss_masks_invalid_and_huge_flow(rng):
+    preds = jnp.zeros((2, 1, 4, 4, 2))
+    gt = np.zeros((1, 4, 4, 2), np.float32)
+    gt[0, 0, 0] = 1000.0  # exceeds MAX_FLOW -> excluded
+    valid = np.ones((1, 4, 4), np.float32)
+    valid[0, 1, 1] = 0.0  # explicitly invalid
+    gt_j = jnp.asarray(gt)
+    loss_all, m = sequence_loss(preds, gt_j, jnp.asarray(valid))
+    # all remaining gt are zero and preds zero -> loss 0, epe 0
+    assert float(loss_all) == 0.0
+    assert float(m["epe"]) == 0.0
+
+
+def test_flow_train_step_decreases_loss(rng):
+    model = RAFTGMA(iters=2, use_pallas=False)
+    tx = make_optimizer(lr=1e-4, steps_total=50)
+    state = init_state(model, jnp.zeros((2, H, W, 3)), tx)
+    step = make_train_step(model, tx)
+
+    im1 = jnp.asarray(rng.uniform(0, 255, (2, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (2, H, W, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(2, H, W, 2)).astype(np.float32))
+    valid = jnp.ones((2, H, W))
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, im1, im2, gt, valid)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[-3:]) < losses[0]
+    assert float(metrics["epe"]) >= 0
+
+
+def test_flow_train_step_sharded(rng):
+    mesh = make_mesh()
+    model = RAFTGMA(iters=1, use_pallas=False)
+    tx = make_optimizer(lr=1e-4, steps_total=10)
+    state = init_state(model, jnp.zeros((8, H, W, 3)), tx)
+    step = make_train_step(model, tx, mesh=mesh)
+    batch = shard_batch(
+        mesh,
+        (
+            jnp.asarray(rng.uniform(0, 255, (8, H, W, 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 255, (8, H, W, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(8, H, W, 2)).astype(np.float32)),
+            jnp.ones((8, H, W)),
+        ),
+    )
+    state, metrics = step(state, *batch)
+    assert np.isfinite(float(metrics["loss"]))
