@@ -59,6 +59,26 @@ def build_corr_pyramid(
     return pyramid
 
 
+def _interp_weights(
+    centers: jax.Array, radius: int, size: int
+) -> jax.Array:
+    """Dense separable bilinear interpolation weights.
+
+    :param centers: (..., ) fractional center coordinates along one
+        axis.
+    :return: (..., 2r+1, size) weights W with
+        W[..., a, p] = max(0, 1 - |centers + (a - r) - p|) — the 1-D
+        bilinear hat. Out-of-range positions get zero weight, which
+        reproduces grid_sample's zero padding exactly.
+    """
+    offsets = jnp.arange(-radius, radius + 1, dtype=centers.dtype)
+    pts = centers[..., None] + offsets  # (..., span)
+    grid = jax.lax.broadcasted_iota(
+        centers.dtype, (*pts.shape, size), pts.ndim
+    )
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pts[..., None] - grid))
+
+
 def lookup_corr_pyramid(
     pyramid: list[jax.Array],
     coords: jax.Array,
@@ -66,25 +86,64 @@ def lookup_corr_pyramid(
 ) -> jax.Array:
     """Sample a (2r+1)^2 window at every level around ``coords``.
 
+    TPU-native formulation: instead of gathering 4 taps per sample
+    point (XLA gathers are scalar-slow on TPU — measured ~100 ms per
+    iteration at KITTI resolution), the separable bilinear window
+    sample is expressed as two small batched matmuls with *dense*
+    interpolation-weight matrices built from iota comparisons:
+
+        out[i] = Wy[i] @ corr[i] @ Wx[i]^T
+
+    with Wy (span, Hl), Wx (span, Wl) having <=2 nonzeros per row.
+    This runs on the MXU (~1.4 GFLOP/level at 47x154) and streams the
+    correlation volume exactly once per level. Zero padding for
+    out-of-bounds taps falls out of the hat-function weights —
+    matching grid_sample(zeros) semantics (ref: corr.py:32-53,
+    GMA/core/utils/utils.py:59-73).
+
     :param pyramid: from :func:`build_corr_pyramid`.
     :param coords: (B, H1, W1, 2) current correspondence in frame-2
         pixel coords (x, y) at level-0 resolution.
     :return: (B, H1, W1, num_levels*(2r+1)^2) float32 correlation
-        features (ref: corr.py:32-53).
+        features, channel index = dy-major, dx-minor per level.
     """
+    b, h1, w1, _ = coords.shape
+    n1 = h1 * w1
+    flat = coords.reshape(b, n1, 2).astype(jnp.float32)
+
+    out = []
+    for level, corr in enumerate(pyramid):
+        hl, wl = corr.shape[2], corr.shape[3]
+        scale = 1.0 / (2.0**level)
+        wy = _interp_weights(flat[..., 1] * scale, radius, hl)
+        wx = _interp_weights(flat[..., 0] * scale, radius, wl)
+        vol = corr[..., 0]  # (B, N1, Hl, Wl)
+        rows = jnp.einsum(
+            "bnah,bnhw->bnaw", wy, vol,
+            preferred_element_type=jnp.float32,
+        )
+        window = jnp.einsum(
+            "bnaw,bncw->bnac", rows, wx,
+            preferred_element_type=jnp.float32,
+        )
+        out.append(window.reshape(b, n1, -1))
+    return jnp.concatenate(out, axis=-1).reshape(b, h1, w1, -1)
+
+
+def lookup_corr_pyramid_gather(
+    pyramid: list[jax.Array],
+    coords: jax.Array,
+    radius: int = 4,
+) -> jax.Array:
+    """Gather-based reference implementation (4 clamped taps per sample
+    via ops.bilinear). Semantically identical to
+    :func:`lookup_corr_pyramid`; kept for cross-checking. Slow on TPU."""
     b, h1, w1, _ = coords.shape
     n1 = h1 * w1
     r = radius
     span = 2 * r + 1
-    # (span, span, 2) offsets in (x, y) order; torch builds the window
-    # as meshgrid(dy, dx) stacked (dy, dx) last (corr.py:40-42) but adds
-    # it to (x, y)-ordered coords — reproducing that axis swap would be
-    # a bug-for-bug copy; we use consistent (x, y) everywhere. NOTE:
-    # the window is symmetric (-r..r in both axes) so the sampled *set*
-    # is identical; only the channel ordering differs, which only
-    # matters for porting pretrained motion-encoder weights (handled in
-    # tools/convert_torch_checkpoint.py).
     dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    # (span, span, 2) offsets, channel order (x, y), dy-major flattening
     delta = jnp.stack(
         jnp.meshgrid(dx, dx, indexing="xy"), axis=-1
     ).reshape(span * span, 2)

@@ -140,3 +140,19 @@ def test_bilinear_flow_upsample():
     up = upsample_flow_bilinear(flow, 8)
     assert up.shape == (1, 32, 32, 2)
     np.testing.assert_allclose(np.asarray(up), 8.0, atol=1e-5)
+
+
+def test_matmul_lookup_matches_gather(rng):
+    """The einsum-based lookup must equal the 4-tap gather reference,
+    including out-of-bounds zero padding."""
+    from atdn_vslam_tpu.ops.corr_lookup import lookup_corr_pyramid_gather
+
+    f1 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, 3)
+    # coords with fractional parts, including points near/past borders
+    base = coords_grid(6, 9)[None]
+    coords = jnp.concatenate([base + 0.37, base - 3.6], axis=0)
+    a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
+    b = np.asarray(lookup_corr_pyramid_gather(pyr, coords, radius=2))
+    np.testing.assert_allclose(a, b, atol=1e-4)
