@@ -1,0 +1,212 @@
+"""Pose-graph optimization (Gauss-Newton on SE(3)).
+
+NEW capability — the reference has no geometric backend at all (no
+bundle adjustment, no pose graph; SURVEY.md executive summary). This
+module adds a TPU-native pose-graph refiner used to fuse odometry
+chains with loop-closure / relocalization constraints:
+
+  * state: N absolute poses (R_i, t_i), first pose gauge-fixed;
+  * residuals: for each edge (i, j) with measured relative transform
+    Z_ij, r = log_SE3( Z_ij^-1 * (X_i^-1 * X_j) )  in R^6;
+  * solver: damped Gauss-Newton with the Jacobian applied via
+    ``jax.jacfwd`` on a *local tangent* parameterization and a dense
+    normal-equation solve — fully jittable, fixed iteration count
+    (``lax`` loops), so the whole refinement is ONE compiled kernel.
+    Dense solves are fine up to a few thousand keyframes (the keyframe
+    graph of a KITTI sequence is a few hundred nodes); the
+    Schur/psum-sharded variant over the device mesh is the designed
+    scale-out path.
+
+SE(3) log/exp here use the first-order-exact closed forms with
+small-angle guards, accurate for the small residuals a vSLAM graph
+produces.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from atdn_vslam_tpu.geometry.se3 import se3_inverse
+
+_EPS = 1e-8
+
+
+def _skew(v: jax.Array) -> jax.Array:
+    zeros = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], zeros, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], zeros], -1),
+        ],
+        -2,
+    )
+
+
+# Small-angle guards follow the "double-where" pattern: every ratio is
+# computed from a SMOOTH primitive (theta^2 as a polynomial of the
+# inputs, never a norm/arccos at the singular point), with the
+# singular-branch inputs replaced by safe constants BEFORE the
+# nonlinearity so reverse-mode gradients stay finite at identity —
+# jacfwd/jacrev of the Gauss-Newton residual hit exactly that point
+# when the graph is consistent.
+
+_SMALL = 1e-8
+
+
+def _sincs(t2: jax.Array):
+    """(sin th/th, (1-cos th)/th^2, (th - sin th)/th^3) from theta^2,
+    gradient-safe at 0."""
+    small = t2 < _SMALL
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2_safe)
+    c = jnp.where(
+        small, 1.0 / 6.0 - t2 / 120.0,
+        (theta - jnp.sin(theta)) / (t2_safe * theta),
+    )
+    return a, b, c
+
+
+def so3_exp(w: jax.Array) -> jax.Array:
+    """Rodrigues, gradient-safe at 0. (..., 3) -> (..., 3, 3)."""
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    K = _skew(w)
+    a, b, _ = _sincs(t2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a * K + b * (K @ K)
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) -> (..., 3) rotation vector, gradient-safe at I."""
+    cos = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    cos = cos[..., None]
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )
+    near_id = cos > 1.0 - 1e-6
+    cos_safe = jnp.where(near_id, 0.0, cos)
+    theta = jnp.arccos(cos_safe)
+    # theta^2 via the smooth polynomial 2(1-cos) near identity
+    t2_small = 2.0 * (1.0 - cos)
+    scale = jnp.where(
+        near_id,
+        0.5 + t2_small / 12.0,
+        theta / (2.0 * jnp.sin(theta)),
+    )
+    return scale * vee
+
+
+def se3_exp(xi: jax.Array) -> jax.Array:
+    """Twist (..., 6) = (rho, phi) -> (..., 4, 4) via the SE(3) exp map."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    R = so3_exp(phi)
+    t2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    K = _skew(phi)
+    _, b, c = _sincs(t2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    V = eye + b * K + c * (K @ K)
+    t = (V @ rho[..., None])[..., 0]
+    top = jnp.concatenate([R, t[..., None]], -1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], -2)
+
+
+def se3_log(T: jax.Array) -> jax.Array:
+    """(..., 4, 4) -> twist (..., 6) = (rho, phi), gradient-safe at I."""
+    phi = so3_log(T[..., :3, :3])
+    t2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    K = _skew(phi)
+    small = t2 < _SMALL
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
+    # V^-1 = I - K/2 + coef K^2
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + t2 / 720.0,
+        1.0 / t2_safe
+        - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta)),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
+    v_inv = eye - 0.5 * K + coef * (K @ K)
+    rho = (v_inv @ T[..., :3, 3:])[..., 0]
+    return jnp.concatenate([rho, phi], -1)
+
+
+def edge_residuals(
+    poses: jax.Array, edges_i: jax.Array, edges_j: jax.Array,
+    measurements: jax.Array,
+) -> jax.Array:
+    """r_e = log( Z_e^-1 * X_i^-1 * X_j ) for each edge -> (E, 6)."""
+    xi = poses[edges_i]
+    xj = poses[edges_j]
+    pred = se3_inverse(xi) @ xj
+    return se3_log(se3_inverse(measurements) @ pred)
+
+
+def optimize_pose_graph(
+    poses: jax.Array,
+    edges_i: jax.Array,
+    edges_j: jax.Array,
+    measurements: jax.Array,
+    weights: jax.Array | None = None,
+    iterations: int = 10,
+    damping: float = 1e-6,
+) -> tuple[jax.Array, jax.Array]:
+    """Damped Gauss-Newton over a pose graph.
+
+    :param poses: (N, 4, 4) initial absolute poses; pose 0 is held
+        fixed (gauge).
+    :param edges_i, edges_j: (E,) int edge endpoints.
+    :param measurements: (E, 4, 4) measured relative transforms
+        X_i^-1 X_j (odometry steps, loop closures, relocalizations).
+    :param weights: optional (E,) per-edge information weights.
+    :return: (optimized (N, 4, 4) poses, final mean squared residual).
+    """
+    n = poses.shape[0]
+    e = edges_i.shape[0]
+    w = jnp.ones((e,), poses.dtype) if weights is None else weights
+    sqrt_w = jnp.sqrt(w)[:, None]
+
+    def residual_of_deltas(deltas: jax.Array, base: jax.Array) -> jax.Array:
+        """deltas: (N-1, 6) tangent updates for poses 1..N-1."""
+        full = jnp.concatenate(
+            [jnp.zeros((1, 6), deltas.dtype), deltas], axis=0
+        )
+        updated = base @ se3_exp(full)
+        r = edge_residuals(updated, edges_i, edges_j, measurements)
+        return (r * sqrt_w).reshape(-1)
+
+    def gn_step(state, _):
+        cur, _prev = state
+        zero = jnp.zeros((n - 1, 6), poses.dtype)
+        r0 = residual_of_deltas(zero, cur)
+        J = jax.jacfwd(residual_of_deltas)(zero, cur).reshape(
+            r0.shape[0], (n - 1) * 6
+        )
+        JtJ = J.T @ J + damping * jnp.eye((n - 1) * 6, dtype=poses.dtype)
+        rhs = -J.T @ r0
+        delta = jnp.linalg.solve(JtJ, rhs).reshape(n - 1, 6)
+        full = jnp.concatenate([jnp.zeros((1, 6), poses.dtype), delta], 0)
+        new = cur @ se3_exp(full)
+        return (new, jnp.mean(r0**2)), None
+
+    (optimized, mse), _ = jax.lax.scan(
+        gn_step, (poses, jnp.asarray(0.0, poses.dtype)), None,
+        length=iterations,
+    )
+    final_r = edge_residuals(optimized, edges_i, edges_j, measurements)
+    return optimized, jnp.mean(final_r**2)
+
+
+def odometry_edges(n: int) -> tuple[jax.Array, jax.Array]:
+    """Consecutive-pose chain edges (0-1, 1-2, ...)."""
+    idx = jnp.arange(n - 1)
+    return idx, idx + 1

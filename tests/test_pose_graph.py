@@ -1,0 +1,134 @@
+"""Tests for the pose-graph Gauss-Newton backend (new capability; the
+reference has no geometric backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atdn_vslam_tpu.geometry.pose_graph import (
+    edge_residuals,
+    odometry_edges,
+    optimize_pose_graph,
+    se3_exp,
+    se3_log,
+    so3_exp,
+    so3_log,
+)
+from atdn_vslam_tpu.geometry.se3 import se3_inverse
+
+
+def _rand_twists(rng, n, rot_scale=0.2, tr_scale=1.0):
+    return np.concatenate(
+        [
+            rng.normal(scale=tr_scale, size=(n, 3)),
+            rng.normal(scale=rot_scale, size=(n, 3)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def test_so3_exp_log_roundtrip(rng):
+    w = rng.normal(scale=0.5, size=(32, 3)).astype(np.float32)
+    R = so3_exp(jnp.asarray(w))
+    back = np.asarray(so3_log(R))
+    np.testing.assert_allclose(back, w, atol=1e-4)
+
+
+def test_so3_small_angle(rng):
+    w = rng.normal(scale=1e-6, size=(8, 3)).astype(np.float32)
+    R = np.asarray(so3_exp(jnp.asarray(w)))
+    assert np.isfinite(R).all()
+    np.testing.assert_allclose(
+        R, np.broadcast_to(np.eye(3), R.shape), atol=1e-5
+    )
+
+
+def test_se3_exp_log_roundtrip(rng):
+    xi = _rand_twists(rng, 24)
+    T = se3_exp(jnp.asarray(xi))
+    assert T.shape == (24, 4, 4)
+    np.testing.assert_allclose(np.asarray(se3_log(T)), xi, atol=1e-4)
+
+
+def test_se3_exp_is_rigid(rng):
+    xi = _rand_twists(rng, 8)
+    T = np.asarray(se3_exp(jnp.asarray(xi)))
+    R = T[:, :3, :3]
+    np.testing.assert_allclose(
+        R @ np.transpose(R, (0, 2, 1)),
+        np.broadcast_to(np.eye(3), R.shape), atol=1e-5,
+    )
+    np.testing.assert_allclose(T[:, 3, :], np.tile([0, 0, 0, 1], (8, 1)))
+
+
+def test_residuals_zero_for_consistent_graph(rng):
+    xi = _rand_twists(rng, 5, rot_scale=0.1)
+    steps = se3_exp(jnp.asarray(xi))
+    poses = [jnp.eye(4)]
+    for i in range(5):
+        poses.append(poses[-1] @ steps[i])
+    poses = jnp.stack(poses)
+    ei, ej = odometry_edges(6)
+    meas = se3_inverse(poses[ei]) @ poses[ej]
+    r = edge_residuals(poses, ei, ej, meas)
+    assert float(jnp.abs(r).max()) < 1e-4
+
+
+def test_optimize_recovers_from_noise(rng):
+    """Noisy odometry chain + exact loop-closure edges -> optimization
+    pulls the trajectory back toward ground truth."""
+    n = 12
+    xi = _rand_twists(rng, n - 1, rot_scale=0.05, tr_scale=0.5)
+    steps = se3_exp(jnp.asarray(xi))
+    gt = [jnp.eye(4)]
+    for i in range(n - 1):
+        gt.append(gt[-1] @ steps[i])
+    gt = jnp.stack(gt)
+
+    # corrupt odometry measurements
+    noise = _rand_twists(rng, n - 1, rot_scale=0.02, tr_scale=0.1)
+    noisy_meas = steps @ se3_exp(jnp.asarray(noise))
+    init = [jnp.eye(4)]
+    for i in range(n - 1):
+        init.append(init[-1] @ noisy_meas[i])
+    init = jnp.stack(init)
+
+    # loop closures: exact absolute constraints to pose 0 every 3 frames
+    lc_j = jnp.arange(3, n, 3)
+    lc_i = jnp.zeros_like(lc_j)
+    lc_meas = se3_inverse(gt[lc_i]) @ gt[lc_j]
+
+    ei, ej = odometry_edges(n)
+    edges_i = jnp.concatenate([ei, lc_i])
+    edges_j = jnp.concatenate([ej, lc_j])
+    meas = jnp.concatenate([noisy_meas, lc_meas])
+    weights = jnp.concatenate(
+        [jnp.ones(n - 1), 100.0 * jnp.ones(len(lc_j))]
+    )
+
+    init_err = float(jnp.linalg.norm(init[:, :3, 3] - gt[:, :3, 3], axis=1).mean())
+    opt, mse = optimize_pose_graph(
+        init, edges_i, edges_j, meas, weights, iterations=10
+    )
+    opt_err = float(jnp.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1).mean())
+    assert np.isfinite(float(mse))
+    assert opt_err < init_err * 0.5, (init_err, opt_err)
+    # gauge held
+    np.testing.assert_allclose(np.asarray(opt[0]), np.eye(4), atol=1e-6)
+
+
+def test_optimizer_is_jittable(rng):
+    n = 6
+    xi = _rand_twists(rng, n - 1, rot_scale=0.05)
+    steps = se3_exp(jnp.asarray(xi))
+    poses = [jnp.eye(4)]
+    for i in range(n - 1):
+        poses.append(poses[-1] @ steps[i])
+    poses = jnp.stack(poses)
+    ei, ej = odometry_edges(n)
+    meas = se3_inverse(poses[ei]) @ poses[ej]
+    fn = jax.jit(
+        lambda p, m: optimize_pose_graph(p, ei, ej, m, iterations=3)
+    )
+    opt, mse = fn(poses, meas)
+    assert float(mse) < 1e-6
