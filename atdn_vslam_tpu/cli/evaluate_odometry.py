@@ -36,27 +36,34 @@ def run_inference(
     variables: dict,
     dataset: FlowWindowDataset,
     forward: bool = True,
+    chunk: int = 32,
 ) -> tuple[np.ndarray, np.ndarray, float]:
-    """Streaming batch-1 inference with LSTM carry held across the WHOLE
-    sequence (ref: evaluate_odometry.py:60-75). Returns (rot, tr,
-    seconds of pure inference)."""
-    step = jax.jit(
-        lambda v, f, c: model.apply(v, f, c)
-    )
+    """Whole-sequence inference with LSTM carry held across the WHOLE
+    sequence (ref: evaluate_odometry.py:60-75 — there, a python loop of
+    batch-1 calls; here, fixed-size time chunks so the CNN encoder runs
+    batch-folded on the MXU while the recurrence threads the carry
+    between chunks). Returns (rot, tr, seconds of pure inference)."""
+    step = jax.jit(lambda v, f, c: model.apply(v, f, c))
     carry = model.init_carry(1)
-    indices = range(len(dataset)) if forward else range(len(dataset) - 1, -1, -1)
+    n = len(dataset)
+    indices = list(range(n)) if forward else list(range(n - 1, -1, -1))
     rots, trs = [], []
     infer_time = 0.0
-    for i in indices:
-        flows, _, _ = dataset[i]
-        x = jnp.asarray(flows)[None]
+    for start in range(0, n, chunk):
+        batch_idx = indices[start : start + chunk]
+        flows = np.stack([dataset[i][0][0] for i in batch_idx])
+        count = len(batch_idx)
+        if count < chunk:  # pad the final chunk to the compiled shape
+            pad = np.zeros((chunk - count, *flows.shape[1:]), flows.dtype)
+            flows = np.concatenate([flows, pad])
+        x = jnp.asarray(flows)[None]  # (1, T, H, W, 2)
         t0 = time.perf_counter()
         (rot, tr), carry = step(variables, x, carry)
-        jax.block_until_ready(rot)
+        rot, tr = np.asarray(rot), np.asarray(tr)
         infer_time += time.perf_counter() - t0
-        rots.append(np.asarray(rot[0, 0]))
-        trs.append(np.asarray(tr[0, 0]))
-    return np.stack(rots), np.stack(trs), infer_time
+        rots.append(rot[0, :count])
+        trs.append(tr[0, :count])
+    return np.concatenate(rots), np.concatenate(trs), infer_time
 
 
 def evaluate_direction(

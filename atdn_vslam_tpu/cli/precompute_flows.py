@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         iters=config.flow.iters,
         dtype=jnp.bfloat16 if (config.flow.mixed_precision and on_tpu)
         else jnp.float32,
-        use_pallas=on_tpu and config.flow.use_pallas_attention,
+        use_pallas=None if (on_tpu and config.flow.use_pallas_attention) else False,
     )
     sample = jnp.zeros((args.batch, h, w, 3))
     if args.flow_checkpoint:

@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         iters=config.flow.iters,
         dtype=jnp.bfloat16 if (config.flow.mixed_precision and on_tpu)
         else jnp.float32,
-        use_pallas=on_tpu,
+        use_pallas=None if on_tpu else False,
     )
     if args.flow_checkpoint:
         from flax.serialization import msgpack_restore

@@ -1,0 +1,125 @@
+"""Flow-network (RAFTGMA) training CLI (ref: GMA/train.py:78-175).
+
+RAFT-style training: gamma-decayed sequence loss, one-cycle LR,
+gradient clipping, EPE metrics — batch sharded over the device mesh.
+
+Usage:
+  python -m atdn_vslam_tpu.cli.train_flow --dataset kitti \
+      --root /data/kitti2015 --steps 1000 --batch-size 6 \
+      --crop 288 960 [--restore gma.msgpack] [--output gma_out.msgpack]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atdn_vslam_tpu.models.flow import RAFTGMA
+from atdn_vslam_tpu.parallel import make_mesh, shard_batch
+from atdn_vslam_tpu.training.flow import (
+    init_state,
+    make_optimizer,
+    make_train_step,
+)
+from atdn_vslam_tpu.utils.helpers import log
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="RAFTGMA flow training")
+    p.add_argument("--dataset", choices=["kitti", "sintel", "chairs"],
+                   required=True)
+    p.add_argument("--root", required=True)
+    p.add_argument("--dstype", default="clean")
+    p.add_argument("--steps", type=int, default=50000)
+    p.add_argument("--batch-size", type=int, default=6)
+    p.add_argument("--crop", type=int, nargs=2, default=(288, 960))
+    p.add_argument("--lr", type=float, default=1.25e-4)
+    p.add_argument("--wd", type=float, default=1e-5)
+    p.add_argument("--clip", type=float, default=1.0)
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--gamma", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--restore", default=None)
+    p.add_argument("--output", default="flow_trained.msgpack")
+    p.add_argument("--no-mesh", action="store_true")
+    p.add_argument("--log-every", type=int, default=100)
+    args = p.parse_args(argv)
+
+    from atdn_vslam_tpu.data.flow_datasets import (
+        FlowAugmentor,
+        FlyingChairsDataset,
+        KittiFlowDataset,
+        SintelDataset,
+    )
+
+    if args.dataset == "kitti":
+        dataset = KittiFlowDataset(args.root)
+    elif args.dataset == "sintel":
+        dataset = SintelDataset(args.root, dstype=args.dstype)
+    else:
+        dataset = FlyingChairsDataset(args.root)
+    log(f"{args.dataset}: {len(dataset)} pairs")
+    aug = FlowAugmentor(tuple(args.crop), seed=args.seed)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    model = RAFTGMA(
+        iters=args.iters,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=None if on_tpu else False,
+    )
+    tx = make_optimizer(args.lr, args.steps, args.wd, args.clip)
+    h, w = args.crop
+    state = init_state(
+        model, jnp.zeros((args.batch_size, h, w, 3)), tx, args.seed
+    )
+    if args.restore:
+        from flax.serialization import msgpack_restore
+
+        with open(args.restore, "rb") as f:
+            variables = msgpack_restore(f.read())
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
+        log("Restored from", args.restore)
+
+    mesh = None if args.no_mesh else make_mesh()
+    step = make_train_step(model, tx, args.gamma, mesh=mesh)
+
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.steps):
+        idx = rng.integers(0, len(dataset), args.batch_size)
+        ims1, ims2, flows, valids = [], [], [], []
+        for j in idx:
+            im1, im2, flow, valid = aug(*dataset[int(j)])
+            ims1.append(im1); ims2.append(im2)
+            flows.append(flow); valids.append(valid)
+        batch = (
+            jnp.asarray(np.stack(ims1)), jnp.asarray(np.stack(ims2)),
+            jnp.asarray(np.stack(flows)), jnp.asarray(np.stack(valids)),
+        )
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, metrics = step(state, *batch)
+        if i % args.log_every == 0:
+            log(f"step {i}: loss {float(metrics['loss']):.4f} "
+                f"epe {float(metrics['epe']):.3f} "
+                f"1px {float(metrics['1px']):.3f}")
+
+    from flax.serialization import msgpack_serialize
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    with open(args.output, "wb") as f:
+        f.write(msgpack_serialize(variables))
+    log("Saved", args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -52,7 +52,7 @@ class _UpdateStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, inp, q, k, pyramid):
-        net, coords1 = carry
+        net, coords1, _last_mask = carry
         b, h, w, _ = coords1.shape
         coords0 = coords_grid(h, w)[None]
         corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
@@ -75,8 +75,12 @@ class _UpdateStep(nn.Module):
                 (coords1 - coords0), up_mask.astype(jnp.float32)
             )
         else:
-            out = up_mask
-        return (net, coords1), out
+            # test mode: only the final mask is needed — keep it in the
+            # carry (overwritten each step) instead of stacking 12
+            # full-size mask tensors through the scan outputs
+            # (~200 MB/frame of pointless HBM traffic at KITTI res).
+            out = None
+        return (net, coords1, up_mask), out
 
 
 class RAFTGMA(nn.Module):
@@ -120,7 +124,9 @@ class RAFTGMA(nn.Module):
         )
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         pyramid = tuple(
-            build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+            build_corr_pyramid(
+                fmap1, fmap2, self.corr_levels, dtype=self.dtype
+            )
         )
 
         # context encoder + attention projections
@@ -154,11 +160,13 @@ class RAFTGMA(nn.Module):
             self.use_pallas,
             upsample_in_scan,
         )
-        (net, coords1), outs = scan((net, coords1), inp, q, k, pyramid)
+        mask0 = jnp.zeros((b, h8, w8, 64 * 9), self.dtype)
+        (net, coords1, final_mask), outs = scan(
+            (net, coords1, mask0), inp, q, k, pyramid
+        )
 
         flow_low = coords1 - coords0
         if test_mode:
-            final_mask = outs[-1]
             flow_up = convex_upsample(
                 flow_low, final_mask.astype(jnp.float32)
             )

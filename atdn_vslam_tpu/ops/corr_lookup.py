@@ -27,34 +27,43 @@ def build_corr_pyramid(
     fmap1: jax.Array,
     fmap2: jax.Array,
     num_levels: int = 4,
+    dtype=jnp.float32,
 ) -> list[jax.Array]:
     """All-pairs correlation + avg-pool pyramid.
 
     :param fmap1: (B, H1, W1, C) features of frame 1.
     :param fmap2: (B, H2, W2, C) features of frame 2.
+    :param dtype: storage dtype of the pyramid. The matmul always
+        accumulates in float32 (the reference computes the volume in
+        float32, network.py:88-89); storing bfloat16 halves the
+        per-iteration lookup bandwidth — at KITTI resolution the
+        level-0 volume alone is 210 MB f32 and is re-read every
+        iteration. Numerically this matches the reference's *effective*
+        precision: its motion encoder consumes the volume under
+        bfloat16/fp16 autocast anyway (GMA/core/network.py:112).
     :return: list of (B, H1*W1, Hl, Wl, 1) volumes, level l pooled 2^l x
-        (ref: corr.py:22-30,55-63). Always float32 (the reference
-        casts fmaps to float before correlation, network.py:88-89).
+        (ref: corr.py:22-30,55-63).
     """
     b, h1, w1, c = fmap1.shape
     h2, w2 = fmap2.shape[1:3]
-    f1 = fmap1.reshape(b, h1 * w1, c).astype(jnp.float32)
-    f2 = fmap2.reshape(b, h2 * w2, c).astype(jnp.float32)
+    f1 = fmap1.reshape(b, h1 * w1, c)
+    f2 = fmap2.reshape(b, h2 * w2, c)
     corr = jnp.einsum(
         "bnc,bmc->bnm", f1, f2, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
-    corr = corr.reshape(b, h1 * w1, h2, w2, 1)
+    corr = corr.astype(dtype).reshape(b, h1 * w1, h2, w2, 1)
 
     pyramid = [corr]
     for _ in range(num_levels - 1):
-        corr = jax.lax.reduce_window(
-            corr,
-            0.0,
-            jax.lax.add,
-            window_dimensions=(1, 1, 2, 2, 1),
-            window_strides=(1, 1, 2, 2, 1),
-            padding="VALID",
-        ) * 0.25
+        # 2x2 average pool via reshape-mean (odd trailing rows/cols are
+        # truncated, matching torch avg_pool2d's floor semantics,
+        # corr.py:29) — differentiable and dtype-preserving.
+        bb, nn_, hh, ww, _ = corr.shape
+        h2, w2 = hh // 2, ww // 2
+        corr = corr[:, :, : h2 * 2, : w2 * 2, 0].reshape(
+            bb, nn_, h2, 2, w2, 2
+        )
+        corr = jnp.mean(corr, axis=(3, 5))[..., None]
         pyramid.append(corr)
     return pyramid
 
@@ -115,18 +124,18 @@ def lookup_corr_pyramid(
     for level, corr in enumerate(pyramid):
         hl, wl = corr.shape[2], corr.shape[3]
         scale = 1.0 / (2.0**level)
+        vol = corr[..., 0]  # (B, N1, Hl, Wl)
         wy = _interp_weights(flat[..., 1] * scale, radius, hl)
         wx = _interp_weights(flat[..., 0] * scale, radius, wl)
-        vol = corr[..., 0]  # (B, N1, Hl, Wl)
         rows = jnp.einsum(
-            "bnah,bnhw->bnaw", wy, vol,
+            "bnah,bnhw->bnaw", wy.astype(vol.dtype), vol,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(vol.dtype)
         window = jnp.einsum(
-            "bnaw,bncw->bnac", rows, wx,
+            "bnaw,bncw->bnac", rows, wx.astype(vol.dtype),
             preferred_element_type=jnp.float32,
         )
-        out.append(window.reshape(b, n1, -1))
+        out.append(window.astype(jnp.float32).reshape(b, n1, -1))
     return jnp.concatenate(out, axis=-1).reshape(b, h1, w1, -1)
 
 

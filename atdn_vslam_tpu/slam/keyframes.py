@@ -113,3 +113,37 @@ class KeyframeStore:
 
     def __len__(self) -> int:
         return self.count
+
+
+def nearest_sharded(mesh, embeddings, code):
+    """Device-sharded nearest-neighbor search over the keyframe map.
+
+    The embedding matrix is sharded over the mesh "data" axis (each
+    device holds a keyframe range); the distance computation runs
+    locally per shard and GSPMD inserts the cross-device argmin
+    reduction over ICI. This is the pod-scale replacement for the
+    host-side ``KeyframeStore.nearest`` (and for the reference's
+    python loop, neural_slam.py:373-384).
+
+    :param embeddings: (K, D) array, K divisible by the data-axis size.
+    :param code: (D,) query embedding.
+    :return: (index, distances (K,)) on host.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    emb_sharded = jax.device_put(
+        jnp.asarray(embeddings), NamedSharding(mesh, P("data"))
+    )
+    code_repl = jax.device_put(
+        jnp.asarray(code), NamedSharding(mesh, P())
+    )
+
+    @jax.jit
+    def search(emb, q):
+        d = jnp.linalg.norm(emb - q[None, :], axis=1)
+        return jnp.argmin(d), d
+
+    idx, d = search(emb_sharded, code_repl)
+    return int(idx), np.asarray(d)

@@ -70,7 +70,7 @@ class SlamRuntime:
             corr_radius=config.flow.corr_radius,
             heads=config.flow.num_heads,
             dtype=jnp.bfloat16 if config.flow.mixed_precision else jnp.float32,
-            use_pallas=config.flow.use_pallas_attention or None,
+            use_pallas=None if config.flow.use_pallas_attention else False,
         )
         self.odometry_model = ATDNVO(
             in_channels=config.odometry.in_channels,

@@ -82,14 +82,19 @@ def make_optimizer(
     clip: float = 1.0,
     pct_start: float = 0.05,
 ):
-    """One-cycle schedule + global-norm clip (ref: GMA/train.py:68-75)."""
-    schedule = optax.linear_onecycle_schedule(
-        transition_steps=steps_total,
+    """One-cycle-style schedule + global-norm clip
+    (ref: GMA/train.py:68-75 uses torch OneCycleLR). Implemented as
+    linear warmup to the peak followed by cosine decay —
+    optax's literal one-cycle schedule divides by zero when
+    ``pct_start * steps`` floors to a duplicate boundary (tiny runs /
+    tests), and warmup+cosine is the standard TPU equivalent."""
+    warmup = max(1, int(pct_start * steps_total))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=lr / 25.0,
         peak_value=lr,
-        pct_start=pct_start,
-        pct_final=1.0 - pct_start,
-        div_factor=25.0,
-        final_div_factor=1e4,
+        warmup_steps=warmup,
+        decay_steps=max(steps_total, warmup + 1),
+        end_value=lr / 1e4,
     )
     return optax.chain(
         optax.clip_by_global_norm(clip),

@@ -60,7 +60,7 @@ def main() -> int:
     flow_model = RAFTGMA(
         iters=12,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas=on_tpu,
+        use_pallas=None if on_tpu else False,
     )
     odo_model = ATDNVO()
 

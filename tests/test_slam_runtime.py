@@ -151,3 +151,26 @@ def test_keyframe_thresholds_respected(tmp_path, model_vars):
     for f in frames(4):
         slam(f)
     assert len(slam) == 1
+
+
+def test_nearest_sharded_matches_host(tmp_path):
+    """Mesh-sharded NN search == host search (GSPMD argmin over the
+    data axis)."""
+    import numpy as np
+
+    from atdn_vslam_tpu.parallel import make_mesh
+    from atdn_vslam_tpu.slam.keyframes import nearest_sharded
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(64, 32)).astype(np.float32)
+    code = emb[41] + 0.01 * rng.normal(size=32).astype(np.float32)
+
+    store = KeyframeStore(str(tmp_path), capacity=64)
+    store.count = 64
+    store.set_embeddings(emb)
+    host_idx, host_d = store.nearest(code)
+
+    mesh = make_mesh()
+    idx, d = nearest_sharded(mesh, emb, code)
+    assert idx == host_idx == 41
+    np.testing.assert_allclose(d, host_d, rtol=1e-5)
