@@ -106,10 +106,9 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- odometry phase (ref test_slam.py:24-81) ---
     slam.start_odometry()
-    poses = []
     t0 = time.time()
-    for i in range(n):
-        poses.append(slam(seq.read_image(i)))
+    frames = np.stack([seq.read_image(i) for i in range(n)])
+    poses = list(slam.run_odometry_sequence(frames))
     elapsed = time.time() - t0
     log(f"Odometry: {n} frames in {elapsed:.1f}s "
         f"({n / elapsed:.2f} fps incl. IO), keyframes: {len(slam)}")

@@ -51,20 +51,22 @@ def build_corr_pyramid(
     corr = jnp.einsum(
         "bnc,bmc->bnm", f1, f2, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
-    corr = corr.astype(dtype).reshape(b, h1 * w1, h2, w2, 1)
+    corr = corr.reshape(b, h1 * w1, h2, w2, 1)
 
-    pyramid = [corr]
+    # pool in float32 with a *literal* zero init (a traced init value
+    # breaks reduce_window's reverse-mode rule), cast each level to the
+    # storage dtype afterwards
+    pyramid = [corr.astype(dtype)]
     for _ in range(num_levels - 1):
-        # 2x2 average pool via reshape-mean (odd trailing rows/cols are
-        # truncated, matching torch avg_pool2d's floor semantics,
-        # corr.py:29) — differentiable and dtype-preserving.
-        bb, nn_, hh, ww, _ = corr.shape
-        h2, w2 = hh // 2, ww // 2
-        corr = corr[:, :, : h2 * 2, : w2 * 2, 0].reshape(
-            bb, nn_, h2, 2, w2, 2
-        )
-        corr = jnp.mean(corr, axis=(3, 5))[..., None]
-        pyramid.append(corr)
+        corr = jax.lax.reduce_window(
+            corr,
+            0.0,
+            jax.lax.add,
+            window_dimensions=(1, 1, 2, 2, 1),
+            window_strides=(1, 1, 2, 2, 1),
+            padding="VALID",
+        ) * 0.25
+        pyramid.append(corr.astype(dtype))
     return pyramid
 
 

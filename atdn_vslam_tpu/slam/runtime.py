@@ -214,6 +214,76 @@ class SlamRuntime:
             return True
         return False
 
+    def run_odometry_sequence(
+        self, frames: np.ndarray, chunk: int = 8
+    ) -> np.ndarray:
+        """Batched odometry over a frame stack — the TPU-fast path.
+
+        The per-frame ``__call__`` round-trips the host every frame
+        (fine on-box, but each dispatch costs ~35 ms through a remote
+        device link); this runs the flow+odometry recurrence as an
+        on-device ``lax.scan`` over ``chunk`` frame pairs at a time and
+        does pose accumulation + keyframe decisions on host afterwards.
+        Equivalent to calling the runtime frame by frame.
+
+        :param frames: (N, H, W, 3) uint8 RGB stack, N >= 2.
+        :return: (N, 4, 4) float64 global poses.
+        """
+        if self._mode != "odometry":
+            raise RuntimeError("run_odometry_sequence requires odometry mode")
+        if self._image_buffer is not None:
+            raise RuntimeError(
+                "run_odometry_sequence must start a fresh sequence"
+            )
+        n = len(frames)
+        prepared = jnp.stack([self._prepare(f) for f in frames])
+
+        if not hasattr(self, "_scan_step"):
+            flow_model, odo_model = self.flow_model, self.odometry_model
+
+            def scan_chunk(flow_vars, odo_vars, pairs, carry):
+                def step(carry, pair):
+                    im1, im2 = pair
+                    _, flow = flow_model.apply(
+                        flow_vars, im1[None], im2[None], test_mode=True
+                    )
+                    (rot, tr), carry = odo_model.apply(
+                        odo_vars, flow[:, None], carry
+                    )
+                    return carry, pose_to_matrix(rot[0, 0], tr[0, 0])
+
+                return jax.lax.scan(step, carry, pairs)
+
+            self._scan_step = jax.jit(scan_chunk)
+
+        # register frame 0 as the first keyframe (ref: neural_slam.py:223-225)
+        self.keyframes.append(
+            np.asarray(prepared[0], np.uint8), self._current_pose
+        )
+        poses = [self._current_pose.copy()]
+        rel_mats = []
+        for start in range(0, n - 1, chunk):
+            count = min(chunk, n - 1 - start)
+            im1 = prepared[start : start + count]
+            im2 = prepared[start + 1 : start + 1 + count]
+            if count < chunk:
+                pad = jnp.zeros((chunk - count, *im1.shape[1:]), im1.dtype)
+                im1 = jnp.concatenate([im1, pad])
+                im2 = jnp.concatenate([im2, pad])
+            self._carry, mats = self._scan_step(
+                self._flow_vars, self._odo_vars, (im1, im2), self._carry
+            )
+            rel_mats.append(np.asarray(mats, np.float64)[:count])
+        for i, pred in enumerate(np.concatenate(rel_mats)):
+            self._current_pose = self._current_pose @ pred
+            if self._decide_keyframe(pred):
+                self.keyframes.append(
+                    np.asarray(prepared[i + 1], np.uint8), self._current_pose
+                )
+            poses.append(self._current_pose.copy())
+        self._image_buffer = prepared[-1]
+        return np.stack(poses)
+
     def end_odometry(self) -> None:
         """Finish odometry -> train the map -> embed keyframes ->
         relocalization mode (ref: neural_slam.py:141-177)."""

@@ -63,6 +63,14 @@ class Clock:
         np.savetxt(path, np.asarray(self.times))
 
 
+def shape_log(tag: str, x) -> None:
+    """Debug shape print for pytrees (ref: ShapeLogLayer,
+    helpers.py:25-40 — there a nn.Module; here a function usable inside
+    traced code via jax.debug)."""
+    shapes = jax.tree.map(lambda a: tuple(a.shape), x)
+    print(f"[shape] {tag}: {shapes}")
+
+
 class BetaScheduler:
     """Linear KLD-weight warmup (ref: helpers.py:91-111)."""
 

@@ -174,3 +174,35 @@ def test_nearest_sharded_matches_host(tmp_path):
     idx, d = nearest_sharded(mesh, emb, code)
     assert idx == host_idx == 41
     np.testing.assert_allclose(d, host_d, rtol=1e-5)
+
+
+def test_run_odometry_sequence_matches_streaming(tmp_path, model_vars):
+    """Batched sequence API == frame-by-frame calls (same poses and
+    keyframes)."""
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path / "a")
+    fr = frames(6, seed=9)
+
+    slam1 = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam1.start_odometry()
+    poses_stream = np.stack([slam1(f) for f in fr])
+
+    cfg2 = tiny_config(tmp_path / "b")
+    slam2 = SlamRuntime(cfg2, flow_vars, odo_vars)
+    slam2.start_odometry()
+    poses_batch = slam2.run_odometry_sequence(np.stack(fr), chunk=4)
+
+    np.testing.assert_allclose(poses_batch, poses_stream, atol=1e-4)
+    assert len(slam2) == len(slam1)
+
+
+def test_run_odometry_sequence_requires_fresh(tmp_path, model_vars):
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    with pytest.raises(RuntimeError):
+        slam.run_odometry_sequence(np.stack(frames(3)))
+    slam.start_odometry()
+    slam(frames(1)[0])
+    with pytest.raises(RuntimeError):
+        slam.run_odometry_sequence(np.stack(frames(3)))
