@@ -114,7 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--data-path", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--stage", type=int, required=True)
-    p.add_argument("--sequence", type=str, default="00")
+    p.add_argument("--sequence", type=str, nargs="+", default=["00"],
+                   help="one or more sequences; on a multi-host run "
+                        "each host evaluates its shard")
     p.add_argument(
         "--direction", choices=["forward", "backward", "both"],
         default="forward",
@@ -146,14 +148,17 @@ def main(argv: list[str] | None = None) -> int:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     os.makedirs(args.exp, exist_ok=True)
-    if args.direction in ("forward", "both"):
-        evaluate_direction(
-            model, variables, config, args.sequence, True, args.exp, args.plot
-        )
-    if args.direction in ("backward", "both"):
-        evaluate_direction(
-            model, variables, config, args.sequence, False, args.exp, args.plot
-        )
+    from atdn_vslam_tpu.parallel.distributed import host_shard
+
+    for sequence in host_shard(args.sequence):
+        if args.direction in ("forward", "both"):
+            evaluate_direction(
+                model, variables, config, sequence, True, args.exp, args.plot
+            )
+        if args.direction in ("backward", "both"):
+            evaluate_direction(
+                model, variables, config, sequence, False, args.exp, args.plot
+            )
     return 0
 
 

@@ -157,3 +157,15 @@ def test_clock_and_beta():
     assert b(0) == 0.0
     assert b(5) == 1.0
     assert b(20) == 2.0
+
+
+def test_profiling_timed():
+    import jax.numpy as jnp
+
+    from atdn_vslam_tpu.utils.profiling import annotate, timed
+
+    with timed("stage") as t:
+        t.result = jnp.ones((8, 8)) * 2
+    assert t.seconds >= 0
+    with annotate("host-stage"):
+        pass
