@@ -56,7 +56,7 @@ def test_flow_train_step_decreases_loss(rng):
     valid = jnp.ones((2, H, W))
 
     losses = []
-    for _ in range(8):
+    for _ in range(5):
         state, metrics = step(state, im1, im2, gt, valid)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
