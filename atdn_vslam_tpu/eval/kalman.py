@@ -92,8 +92,6 @@ def fuse_trajectories(
     tr = inverse_variance_fusion(tr_f, tr_b, std_tr_f, std_tr_b)
 
     # re-chain on host in float64 (precision over the full sequence)
-    from atdn_vslam_tpu.data.kitti import _matrices_to_euler_yxz  # noqa: F401
-
     n = rot.shape[0]
     c1, c2, c3 = np.cos(rot[:, 0]), np.cos(rot[:, 1]), np.cos(rot[:, 2])
     s1, s2, s3 = np.sin(rot[:, 0]), np.sin(rot[:, 1]), np.sin(rot[:, 2])

@@ -20,8 +20,6 @@ TPU-native re-design of the reference training loop
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import os
 from collections.abc import Iterable
 from typing import Any

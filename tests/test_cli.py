@@ -122,3 +122,45 @@ def test_evaluate_and_postprocess(kitti_root, trained, tmp_path, monkeypatch):
     assert (plots / "00_k_xz.png").exists()
     assert (plots / "00_k_ape.png").exists()
     assert (plots / "00_k_xyz.png").exists()
+
+
+def test_slam_demo_cli(kitti_root, tmp_path):
+    """Full SLAM life-cycle demo CLI on a synthetic image sequence."""
+    import cv2
+    import numpy as np
+    import yaml
+
+    from atdn_vslam_tpu.cli.slam_demo import main
+
+    im_dir = kitti_root / "dataset" / "sequences" / "00" / "image_2"
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        cv2.imwrite(
+            str(im_dir / f"{i:06d}.png"),
+            rng.integers(0, 255, (H, W, 3)).astype(np.uint8),
+        )
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump({
+            "slam": {
+                "image_height": H, "image_width": W,
+                "rotation_threshold_deg": 0.0,
+                "translation_threshold": 0.0,
+            },
+            "flow": {"iters": 2, "mixed_precision": False,
+                     "use_pallas_attention": False},
+            "mapping_train": {"epochs": 1, "batch_size": 2},
+        })
+    )
+    out = tmp_path / "demo_out"
+    rc = main([
+        "--config", str(cfg_path),
+        "--data-path", str(kitti_root),
+        "--sequence", "00", "--max-frames", "5",
+        "--query-frame", "2", "--out-dir", str(out),
+    ])
+    assert rc == 0
+    assert (out / "00_slam.txt").exists()
+    assert (out / "00_slam_xz.png").exists()
+    traj = np.loadtxt(out / "00_slam.txt")
+    assert traj.shape == (5, 12)
