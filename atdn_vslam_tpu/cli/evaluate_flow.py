@@ -86,7 +86,8 @@ def main(argv=None) -> int:
         dataset = FlyingChairsDataset(args.root)
     log(f"{args.dataset}: {len(dataset)} pairs")
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from atdn_vslam_tpu.utils.platform import is_tpu
+    on_tpu = is_tpu()
     model = RAFTGMA(
         iters=args.iters,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,

@@ -136,10 +136,9 @@ def main(argv: list[str] | None = None) -> int:
         config, train=dataclasses.replace(config.train, stage=args.stage)
     )
 
-    model = ATDNVO(
-        in_channels=config.odometry.in_channels,
-        compressor=config.odometry.compressor,
-    )
+    from atdn_vslam_tpu.models.factory import build_odometry_model
+
+    model = build_odometry_model(config)
     h, w = config.slam.image_height, config.slam.image_width
     template = init_state(
         model, config.train, 1, jnp.zeros((1, 1, h, w, 2))

@@ -53,7 +53,8 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"Sequence {args.sequence} has no frame pairs")
     h, w = config.slam.image_height, config.slam.image_width
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from atdn_vslam_tpu.utils.platform import is_tpu
+    on_tpu = is_tpu()
     model = RAFTGMA(
         iters=config.flow.iters,
         dtype=jnp.bfloat16 if (config.flow.mixed_precision and on_tpu)
@@ -88,10 +89,17 @@ def main(argv: list[str] | None = None) -> int:
         n_pairs, h, w,
     )
     t0 = time.time()
+    # frame i is im2 of pair i-1 and im1 of pair i: decode each frame
+    # once by carrying the previous batch's last frame forward
+    prev_frame = load_resized(0)
     for start in range(0, n_pairs, args.batch):
         count = min(args.batch, n_pairs - start)
-        im1 = np.stack([load_resized(start + j) for j in range(count)])
-        im2 = np.stack([load_resized(start + j + 1) for j in range(count)])
+        frames = [prev_frame] + [
+            load_resized(start + j + 1) for j in range(count)
+        ]
+        prev_frame = frames[-1]
+        im1 = np.stack(frames[:-1])
+        im2 = np.stack(frames[1:])
         if count < args.batch:  # pad to static shape
             pad = args.batch - count
             im1 = np.concatenate([im1, np.zeros((pad, h, w, 3), np.float32)])

@@ -26,8 +26,6 @@ from atdn_vslam_tpu.config import load_config
 from atdn_vslam_tpu.data.kitti import KittiSequence
 from atdn_vslam_tpu.eval import save_kitti_trajectory
 from atdn_vslam_tpu.eval.visualizer import plot_trajectories_xz
-from atdn_vslam_tpu.models.flow import RAFTGMA
-from atdn_vslam_tpu.models.odometry import ATDNVO
 from atdn_vslam_tpu.slam import SlamRuntime
 from atdn_vslam_tpu.utils.helpers import log
 
@@ -56,15 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     h, w = config.slam.image_height, config.slam.image_width
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from atdn_vslam_tpu.models.factory import build_flow_model, build_odometry_model
 
     # flow variables
-    flow_model = RAFTGMA(
-        iters=config.flow.iters,
-        dtype=jnp.bfloat16 if (config.flow.mixed_precision and on_tpu)
-        else jnp.float32,
-        use_pallas=None if on_tpu else False,
-    )
+    flow_model = build_flow_model(config)
     if args.flow_checkpoint:
         from flax.serialization import msgpack_restore
 
@@ -76,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         log("WARNING: random-init flow net")
 
     # odometry variables
-    odo_model = ATDNVO()
+    odo_model = build_odometry_model(config)
     if args.odometry_checkpoint_dir:
         from atdn_vslam_tpu.training.odometry import init_state, load_checkpoint
 

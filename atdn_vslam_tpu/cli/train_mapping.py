@@ -58,11 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     log("Keyframes:", len(store))
     images = np.stack([store.read_rgb(i) for i in range(len(store))])
 
-    model = MappingVAE(
-        variational=config.mapping.variational,
-        channels=config.mapping.channels,
-        latent_channels=config.mapping.latent_channels,
-    )
+    from atdn_vslam_tpu.models.factory import build_mapping_model
+
+    model = build_mapping_model(config)
     state = train_mapping(
         model, config.mapping_train, images,
         log_fn=lambda e, l: log(f"epoch {e + 1}: loss {l:.5f}"),

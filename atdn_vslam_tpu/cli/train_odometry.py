@@ -40,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--data-path", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--stage", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
@@ -75,6 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         config = dataclasses.replace(config, data_path=args.data_path)
     if args.checkpoint_dir:
         config = dataclasses.replace(config, checkpoint_dir=args.checkpoint_dir)
+    if args.log_dir:
+        config = dataclasses.replace(config, log_dir=args.log_dir)
     tc = config.train
 
     log("Odometry training — stage", tc.stage)
@@ -95,12 +98,9 @@ def main(argv: list[str] | None = None) -> int:
         log("Mesh:", dict(mesh.shape))
 
     sample_flows, _, _ = dataset[0]
-    model = ATDNVO(
-        in_channels=config.odometry.in_channels,
-        compressor=config.odometry.compressor,
-        use_dropout=config.odometry.use_dropout,
-        use_layernorm=config.odometry.use_layernorm,
-    )
+    from atdn_vslam_tpu.models.factory import build_odometry_model
+
+    model = build_odometry_model(config)
     steps_total = tc.epochs * len(loader)
     state = init_state(
         model, tc, steps_total,

@@ -211,11 +211,14 @@ class BatchLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list[BaseException] = []
 
         def worker():
             try:
                 for batch in self._batches():
                     q.put(batch)
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -227,3 +230,5 @@ class BatchLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]

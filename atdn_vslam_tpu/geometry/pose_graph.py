@@ -80,7 +80,13 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """(..., 3, 3) -> (..., 3) rotation vector, gradient-safe at I."""
+    """(..., 3, 3) -> (..., 3) rotation vector.
+
+    Guarded at both singular regions: gradient-safe Taylor branch near
+    the identity, and an axis-from-symmetric-part branch near theta=pi
+    where the antisymmetric vee vector vanishes (a loop-closure edge
+    with ~180 deg residual must not produce NaNs in the pose-graph
+    solve)."""
     cos = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
     cos = cos[..., None]
     vee = jnp.stack(
@@ -92,16 +98,30 @@ def so3_log(R: jax.Array) -> jax.Array:
         -1,
     )
     near_id = cos > 1.0 - 1e-6
-    cos_safe = jnp.where(near_id, 0.0, cos)
+    near_pi = cos < -1.0 + 1e-4
+    cos_safe = jnp.where(near_id | near_pi, 0.0, cos)
     theta = jnp.arccos(cos_safe)
     # theta^2 via the smooth polynomial 2(1-cos) near identity
     t2_small = 2.0 * (1.0 - cos)
     scale = jnp.where(
         near_id,
         0.5 + t2_small / 12.0,
-        theta / (2.0 * jnp.sin(theta)),
+        theta / (2.0 * jnp.sin(jnp.where(near_id | near_pi, 1.0, theta))),
     )
-    return scale * vee
+    main = scale * vee
+
+    # near pi: axis is the dominant column of R + I (R ~= 2nn^T - I)
+    B = R + jnp.eye(3, dtype=R.dtype)
+    col_norms = jnp.linalg.norm(B, axis=-2)  # (..., 3)
+    k = jnp.argmax(col_norms, axis=-1)
+    axis = jnp.take_along_axis(B, k[..., None, None], axis=-1)[..., 0]
+    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + _EPS)
+    theta_pi = jnp.arccos(jnp.clip(cos[..., 0], -1.0 + 1e-7, 1.0))
+    # orient consistently with the (tiny but signed) vee vector
+    sign = jnp.where(jnp.sum(vee * axis, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    pi_branch = theta_pi[..., None] * axis * sign
+
+    return jnp.where(near_pi, pi_branch, main)
 
 
 def se3_exp(xi: jax.Array) -> jax.Array:
@@ -127,12 +147,15 @@ def se3_log(T: jax.Array) -> jax.Array:
     small = t2 < _SMALL
     t2_safe = jnp.where(small, 1.0, t2)
     theta = jnp.sqrt(t2_safe)
-    # V^-1 = I - K/2 + coef K^2
+    # V^-1 = I - K/2 + coef K^2; the (1+cos)/(2 theta sin) term tends
+    # to 0 at theta=pi but 0/0s numerically — guard the denominator
+    # (coef -> 1/pi^2 there)
+    denom = 2.0 * theta * jnp.sin(theta)
+    denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
     coef = jnp.where(
         small,
         1.0 / 12.0 + t2 / 720.0,
-        1.0 / t2_safe
-        - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta)),
+        1.0 / t2_safe - (1.0 + jnp.cos(theta)) / denom,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     v_inv = eye - 0.5 * K + coef * (K @ K)

@@ -38,6 +38,11 @@ def euler_to_matrix(euler: jax.Array, convention: str = "yxz") -> jax.Array:
     c1, c2, c3 = (jnp.cos(euler[..., i]) for i in range(3))
     s1, s2, s3 = (jnp.sin(euler[..., i]) for i in range(3))
 
+    # NOTE: the reference's yxy/xyx matrices contain typos that make
+    # them non-orthogonal (transforms.py:83-89 — ``c2*s1*s1`` should be
+    # ``c2*s1*c3`` and ``-c3*s3`` should be ``-c1*s3``); the correct
+    # intrinsic compositions (yxz = Ry(a)Rx(b)Rz(g), etc.) are used
+    # here. The SLAM default "yxz" is identical in both.
     if convention == "yxz":
         rows = [
             [c1 * c3 + s1 * s2 * s3, c3 * s1 * s2 - c1 * s3, c2 * s1],
@@ -47,12 +52,12 @@ def euler_to_matrix(euler: jax.Array, convention: str = "yxz") -> jax.Array:
     elif convention == "xyx":
         rows = [
             [c2, s2 * s3, c3 * s2],
-            [s1 * s2, c1 * c3 - c2 * s1 * s3, -c3 * s3 - c2 * c3 * s1],
+            [s1 * s2, c1 * c3 - c2 * s1 * s3, -c1 * s3 - c2 * c3 * s1],
             [-c1 * s2, c3 * s1 + c1 * c2 * s3, c1 * c2 * c3 - s1 * s3],
         ]
     else:  # yxy
         rows = [
-            [c1 * c3 - c2 * s1 * s3, s2 * s1, c2 * s1 * s1 + c1 * s3],
+            [c1 * c3 - c2 * s1 * s3, s2 * s1, c2 * s1 * c3 + c1 * s3],
             [s2 * s3, c2, -s2 * c3],
             [-c3 * s1 - c2 * c1 * s3, s2 * c1, c2 * c1 * c3 - s1 * s3],
         ]

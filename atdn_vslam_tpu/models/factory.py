@@ -1,0 +1,50 @@
+"""Model builders from config — the single place that maps Config to
+model hyperparameters, so training, evaluation, and the SLAM runtime
+always construct structurally identical networks (a checkpoint trained
+with non-default knobs must restore everywhere)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from atdn_vslam_tpu.config import Config
+from atdn_vslam_tpu.models.flow.network import RAFTGMA
+from atdn_vslam_tpu.models.mapping import MappingVAE
+from atdn_vslam_tpu.models.odometry import ATDNVO
+from atdn_vslam_tpu.utils.platform import is_tpu
+
+
+def build_odometry_model(config: Config) -> ATDNVO:
+    c = config.odometry
+    return ATDNVO(
+        in_channels=c.in_channels,
+        compressor=c.compressor,
+        use_dropout=c.use_dropout,
+        use_layernorm=c.use_layernorm,
+        lstm_size=c.lstm_size,
+    )
+
+
+def build_flow_model(config: Config, on_tpu: bool | None = None) -> RAFTGMA:
+    if on_tpu is None:
+        on_tpu = is_tpu()
+    c = config.flow
+    return RAFTGMA(
+        iters=c.iters,
+        corr_levels=c.corr_levels,
+        corr_radius=c.corr_radius,
+        hidden_dim=c.hidden_dim,
+        context_dim=c.context_dim,
+        heads=c.num_heads,
+        dtype=jnp.bfloat16 if (c.mixed_precision and on_tpu) else jnp.float32,
+        use_pallas=None if (on_tpu and c.use_pallas_attention) else False,
+    )
+
+
+def build_mapping_model(config: Config) -> MappingVAE:
+    c = config.mapping
+    return MappingVAE(
+        variational=c.variational,
+        channels=c.channels,
+        latent_channels=c.latent_channels,
+    )

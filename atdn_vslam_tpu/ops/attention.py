@@ -183,8 +183,9 @@ def attend(
     the materialized similarity matrix prohibitive, XLA otherwise.
     """
     if use_pallas is None:
-        on_tpu = jax.default_backend() not in ("cpu",)
-        use_pallas = on_tpu and q.shape[-2] >= _FLASH_MIN_TOKENS
+        from atdn_vslam_tpu.utils.platform import is_tpu
+
+        use_pallas = is_tpu() and q.shape[-2] >= _FLASH_MIN_TOKENS
     if use_pallas:
         return flash_attend(q, k, v, scale)
     return attend_reference(q, k, v, scale)

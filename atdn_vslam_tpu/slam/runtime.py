@@ -30,9 +30,6 @@ import numpy as np
 
 from atdn_vslam_tpu.config import Config
 from atdn_vslam_tpu.geometry.se3 import matrix_to_euler, pose_to_matrix
-from atdn_vslam_tpu.models.mapping import MappingVAE
-from atdn_vslam_tpu.models.odometry import ATDNVO
-from atdn_vslam_tpu.models.flow import RAFTGMA
 from atdn_vslam_tpu.slam.keyframes import KeyframeStore
 from atdn_vslam_tpu.training.mapping import train_mapping
 from atdn_vslam_tpu.utils.helpers import log
@@ -64,26 +61,15 @@ class SlamRuntime:
         self._rot_threshold = np.deg2rad(cfg.rotation_threshold_deg)
         self._tr_threshold = cfg.translation_threshold
 
-        self.flow_model = RAFTGMA(
-            iters=config.flow.iters,
-            corr_levels=config.flow.corr_levels,
-            corr_radius=config.flow.corr_radius,
-            heads=config.flow.num_heads,
-            dtype=jnp.bfloat16 if config.flow.mixed_precision else jnp.float32,
-            use_pallas=None if config.flow.use_pallas_attention else False,
+        from atdn_vslam_tpu.models.factory import (
+            build_flow_model,
+            build_mapping_model,
+            build_odometry_model,
         )
-        self.odometry_model = ATDNVO(
-            in_channels=config.odometry.in_channels,
-            compressor=config.odometry.compressor,
-            use_dropout=config.odometry.use_dropout,
-            use_layernorm=config.odometry.use_layernorm,
-            lstm_size=config.odometry.lstm_size,
-        )
-        self.mapping_model = MappingVAE(
-            variational=config.mapping.variational,
-            channels=config.mapping.channels,
-            latent_channels=config.mapping.latent_channels,
-        )
+
+        self.flow_model = build_flow_model(config)
+        self.odometry_model = build_odometry_model(config)
+        self.mapping_model = build_mapping_model(config)
         self._flow_vars = flow_variables
         self._odo_vars = odometry_variables
         self._map_vars = mapping_variables
@@ -236,7 +222,6 @@ class SlamRuntime:
                 "run_odometry_sequence must start a fresh sequence"
             )
         n = len(frames)
-        prepared = jnp.stack([self._prepare(f) for f in frames])
 
         if not hasattr(self, "_scan_step"):
             flow_model, odo_model = self.flow_model, self.odometry_model
@@ -250,38 +235,50 @@ class SlamRuntime:
                     (rot, tr), carry = odo_model.apply(
                         odo_vars, flow[:, None], carry
                     )
-                    return carry, pose_to_matrix(rot[0, 0], tr[0, 0])
+                    # emit the carry too so padded tail steps can be
+                    # discarded without polluting the runtime state
+                    return carry, (pose_to_matrix(rot[0, 0], tr[0, 0]), carry)
 
-                return jax.lax.scan(step, carry, pairs)
+                return jax.lax.scan(step, carry, pairs)[1]
 
             self._scan_step = jax.jit(scan_chunk)
 
         # register frame 0 as the first keyframe (ref: neural_slam.py:223-225)
-        self.keyframes.append(
-            np.asarray(prepared[0], np.uint8), self._current_pose
-        )
+        first = self._prepare(frames[0])
+        self.keyframes.append(np.asarray(first, np.uint8), self._current_pose)
         poses = [self._current_pose.copy()]
-        rel_mats = []
+
+        # process in chunks, preparing/uploading only chunk+1 frames at
+        # a time (the full KITTI sequence would not fit device memory)
+        prev = first
+        frame_idx = 1
         for start in range(0, n - 1, chunk):
             count = min(chunk, n - 1 - start)
-            im1 = prepared[start : start + count]
-            im2 = prepared[start + 1 : start + 1 + count]
+            prepared = [prev] + [
+                self._prepare(frames[start + 1 + j]) for j in range(count)
+            ]
+            stack = jnp.stack(prepared)
+            im1, im2 = stack[:-1], stack[1:]
             if count < chunk:
                 pad = jnp.zeros((chunk - count, *im1.shape[1:]), im1.dtype)
                 im1 = jnp.concatenate([im1, pad])
                 im2 = jnp.concatenate([im2, pad])
-            self._carry, mats = self._scan_step(
+            mats, carries = self._scan_step(
                 self._flow_vars, self._odo_vars, (im1, im2), self._carry
             )
-            rel_mats.append(np.asarray(mats, np.float64)[:count])
-        for i, pred in enumerate(np.concatenate(rel_mats)):
-            self._current_pose = self._current_pose @ pred
-            if self._decide_keyframe(pred):
-                self.keyframes.append(
-                    np.asarray(prepared[i + 1], np.uint8), self._current_pose
-                )
-            poses.append(self._current_pose.copy())
-        self._image_buffer = prepared[-1]
+            # adopt the carry at the last VALID step, not the padded tail
+            self._carry = jax.tree.map(lambda x: x[count - 1], carries)
+            for j, pred in enumerate(np.asarray(mats, np.float64)[:count]):
+                self._current_pose = self._current_pose @ pred
+                if self._decide_keyframe(pred):
+                    self.keyframes.append(
+                        np.asarray(prepared[j + 1], np.uint8),
+                        self._current_pose,
+                    )
+                poses.append(self._current_pose.copy())
+                frame_idx += 1
+            prev = prepared[-1]
+        self._image_buffer = prev
         return np.stack(poses)
 
     def end_odometry(self) -> None:

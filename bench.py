@@ -56,7 +56,8 @@ def main() -> int:
     from atdn_vslam_tpu.models.flow import RAFTGMA
     from atdn_vslam_tpu.models.odometry import ATDNVO
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from atdn_vslam_tpu.utils.platform import is_tpu
+    on_tpu = is_tpu()
     flow_model = RAFTGMA(
         iters=12,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,

@@ -49,6 +49,7 @@ def trained(kitti_root, tmp_path_factory):
     rc = main([
         "--data-path", str(kitti_root),
         "--checkpoint-dir", str(ckpt),
+        "--log-dir", str(ckpt / "log"),
         "--stage", "1", "--epochs", "1",
         "--batch-size", "4", "--sequence-length", "2",
         "--lr", "1e-3", "--sequences", "00", "--no-mesh",
@@ -67,6 +68,7 @@ def test_stage2_warm_start(kitti_root, trained):
     rc = main([
         "--data-path", str(kitti_root),
         "--checkpoint-dir", str(trained),
+        "--log-dir", str(trained / "log"),
         "--stage", "2", "--epochs", "1",
         "--batch-size", "4", "--sequence-length", "2",
         "--lr", "1e-3", "--sequences", "00", "--no-mesh",

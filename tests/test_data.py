@@ -146,3 +146,23 @@ def test_missing_sequence_raises(synthetic_kitti):
     root, _ = synthetic_kitti
     with pytest.raises(FileNotFoundError):
         FlowWindowDataset(root, ["99"], sequence_length=2)
+
+
+def test_batch_loader_propagates_worker_errors(synthetic_kitti):
+    """A dataset exception inside the prefetch thread must surface, not
+    silently truncate the epoch."""
+
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i_order.index(i) >= 4:  # fail partway through
+                raise RuntimeError("corrupt item")
+            return (np.zeros((2, 2)),)
+
+    # fixed order so "partway" is deterministic
+    loader = BatchLoader(Exploding(), batch_size=2, shuffle=False, prefetch=2)
+    i_order = list(range(8))
+    with pytest.raises(RuntimeError, match="corrupt item"):
+        list(loader)

@@ -132,3 +132,37 @@ def test_optimizer_is_jittable(rng):
     )
     opt, mse = fn(poses, meas)
     assert float(mse) < 1e-6
+
+
+def test_so3_log_near_pi(rng):
+    """Rotation residuals near 180 deg must produce finite, correct
+    logs (loop-closure edges with huge drift)."""
+    # rotation by ~pi about a random axis
+    axes = rng.normal(size=(8, 3)).astype(np.float32)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angles = np.pi - rng.uniform(0, 5e-6, (8, 1)).astype(np.float32)
+    w = (axes * angles).astype(np.float32)
+    R = so3_exp(jnp.asarray(w))
+    back = np.asarray(so3_log(R))
+    assert np.isfinite(back).all()
+    # log is defined up to axis sign at pi; compare rotations
+    R2 = np.asarray(so3_exp(jnp.asarray(back)))
+    np.testing.assert_allclose(R2, np.asarray(R), atol=1e-3)
+
+
+def test_se3_log_near_pi(rng):
+    xi = np.concatenate(
+        [
+            rng.normal(size=(4, 3)).astype(np.float32),
+            (np.pi - 1e-6)
+            * (lambda a: a / np.linalg.norm(a, axis=1, keepdims=True))(
+                rng.normal(size=(4, 3))
+            ).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    T = se3_exp(jnp.asarray(xi))
+    out = np.asarray(se3_log(T))
+    assert np.isfinite(out).all()
+    T2 = np.asarray(se3_exp(jnp.asarray(out)))
+    np.testing.assert_allclose(T2, np.asarray(T), atol=1e-2)

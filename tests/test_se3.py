@@ -162,22 +162,29 @@ def test_jit_and_vmap_compatible(rng):
     np.testing.assert_allclose(np.asarray(back), np.asarray(e), atol=1e-5)
 
 
-@pytest.mark.parametrize("conv", ["yxz", "yxy"])
-def test_convention_consistency(rng, conv):
-    """matrix_to_euler(euler_to_matrix(e)) == e for supported conventions."""
-    if conv == "yxz":
-        e = random_euler(rng, (8,))
-    else:  # yxy: beta in (0, pi)
-        a = rng.uniform(-np.pi, np.pi, (8,))
-        b = rng.uniform(0.05, np.pi - 0.05, (8,))
-        g = rng.uniform(-np.pi, np.pi, (8,))
-        e = np.stack([a, b, g], axis=-1).astype(np.float32)
-    R = euler_to_matrix(jnp.asarray(e), conv)
-    # yxy euler->matrix in the reference has a known asymmetry (s1*s1 term,
-    # transforms.py:87); we only check yxz roundtrip strictly.
-    if conv == "yxz":
-        np.testing.assert_allclose(
-            np.asarray(matrix_to_euler(R, conv)), e, atol=1e-5
-        )
-    else:
-        assert R.shape == (8, 3, 3)
+@pytest.mark.parametrize("conv", ["yxz", "yxy", "xyx"])
+def test_convention_produces_rotations(rng, conv):
+    """All conventions must produce orthogonal rotation matrices (the
+    reference's yxy/xyx matrices contain typos making them non-rigid,
+    transforms.py:83-89 — fixed here)."""
+    a = rng.uniform(-np.pi, np.pi, (16,))
+    b = rng.uniform(0.05, np.pi - 0.05, (16,))
+    g = rng.uniform(-np.pi, np.pi, (16,))
+    e = np.stack([a, b, g], axis=-1).astype(np.float32)
+    R = np.asarray(euler_to_matrix(jnp.asarray(e), conv))
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), R.shape)
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1), eye, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_yxy_roundtrip(rng):
+    """matrix_to_euler implements the proper yxy inverse; with the fixed
+    matrices the round trip closes."""
+    a = rng.uniform(-np.pi, np.pi, (8,))
+    b = rng.uniform(0.05, np.pi - 0.05, (8,))
+    g = rng.uniform(-np.pi, np.pi, (8,))
+    e = np.stack([a, b, g], axis=-1).astype(np.float32)
+    R = euler_to_matrix(jnp.asarray(e), "yxy")
+    np.testing.assert_allclose(
+        np.asarray(matrix_to_euler(R, "yxy")), e, atol=1e-5
+    )

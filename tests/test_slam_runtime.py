@@ -190,10 +190,20 @@ def test_run_odometry_sequence_matches_streaming(tmp_path, model_vars):
     cfg2 = tiny_config(tmp_path / "b")
     slam2 = SlamRuntime(cfg2, flow_vars, odo_vars)
     slam2.start_odometry()
+    # 6 frames -> 5 pairs with chunk=4: final chunk is padded; the
+    # LSTM carry must NOT absorb the padded steps
     poses_batch = slam2.run_odometry_sequence(np.stack(fr), chunk=4)
 
     np.testing.assert_allclose(poses_batch, poses_stream, atol=1e-4)
     assert len(slam2) == len(slam1)
+
+    # continue streaming after the batched call: both runtimes must
+    # agree (catches padded-tail carry pollution)
+    extra = frames(2, seed=77)
+    for f in extra:
+        p_stream = slam1(f)
+        p_batch = slam2(f)
+        np.testing.assert_allclose(p_batch, p_stream, atol=1e-4)
 
 
 def test_run_odometry_sequence_requires_fresh(tmp_path, model_vars):
