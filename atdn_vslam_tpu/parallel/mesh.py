@@ -50,6 +50,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def model_parallel_sharding(
+    mesh: Mesh, tree, min_size: int = 65_536
+):
+    """Tensor-parallel sharding rules for a parameter/optimizer pytree:
+    large >=2-D leaves whose last dim divides the "model" axis shard
+    that dim over "model"; everything else replicates.
+
+    For ATDNVO this puts the 512x512 LSTM/Dense kernels (and their
+    AdamW moments, which share the tree structure) across the model
+    axis — matmul outputs all-gather over ICI via GSPMD.
+    """
+    model = mesh.shape["model"]
+
+    def spec_for(x):
+        if (
+            hasattr(x, "ndim") and x.ndim >= 2
+            and x.shape[-1] % model == 0 and x.size >= min_size
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), "model")
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, tree)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host pytree with leading-axis sharding over "data".
 

@@ -85,6 +85,7 @@ def make_train_step(
     steps_total: int,
     mesh: Mesh | None = None,
     donate: bool = True,
+    state_sharding=None,
 ):
     """Build the jitted train step.
 
@@ -137,10 +138,14 @@ def make_train_step(
 
     repl = replicated(mesh)
     batch = batch_sharding(mesh)
+    # optional tensor parallelism: pass a state-sharding pytree (e.g.
+    # from parallel.model_parallel_sharding) to shard large kernels
+    # over the "model" axis; default is replicated parameters
+    state_in = repl if state_sharding is None else state_sharding
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch, batch, batch),
-        out_shardings=(repl, repl),
+        in_shardings=(state_in, batch, batch, batch),
+        out_shardings=(state_in, repl),
         donate_argnums=(0,) if donate else (),
     )
 
