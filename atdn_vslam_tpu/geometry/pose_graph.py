@@ -233,3 +233,55 @@ def odometry_edges(n: int) -> tuple[jax.Array, jax.Array]:
     """Consecutive-pose chain edges (0-1, 1-2, ...)."""
     idx = jnp.arange(n - 1)
     return idx, idx + 1
+
+
+def optimize_pose_graph_sharded(
+    mesh,
+    poses: jax.Array,
+    edges_i: jax.Array,
+    edges_j: jax.Array,
+    measurements: jax.Array,
+    weights: jax.Array | None = None,
+    iterations: int = 10,
+    damping: float = 1e-6,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed pose-graph solve: edges shard over the mesh "data"
+    axis; each device evaluates its edge block's residuals/Jacobian
+    rows and GSPMD reduces J^T J and J^T r over ICI (the psum'd
+    normal-equation assembly of a distributed BA backend — SURVEY.md
+    build step 9). Poses replicate; the dense solve is tiny.
+
+    Edge count must be divisible by the data-axis size (pad with
+    weight-0 self-edges if needed).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    e = edges_i.shape[0]
+    data = mesh.shape["data"]
+    if e % data != 0:
+        pad = data - e % data
+        edges_i = jnp.concatenate([edges_i, jnp.zeros(pad, edges_i.dtype)])
+        edges_j = jnp.concatenate([edges_j, jnp.zeros(pad, edges_j.dtype)])
+        eye = jnp.broadcast_to(
+            jnp.eye(4, dtype=measurements.dtype), (pad, 4, 4)
+        )
+        measurements = jnp.concatenate([measurements, eye])
+        w = jnp.ones((e,), poses.dtype) if weights is None else weights
+        weights = jnp.concatenate([w, jnp.zeros((pad,), poses.dtype)])
+
+    edge_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(poses, repl),
+        jax.device_put(edges_i, edge_sharding),
+        jax.device_put(edges_j, edge_sharding),
+        jax.device_put(measurements, edge_sharding),
+        jax.device_put(weights, edge_sharding) if weights is not None else None,
+    )
+    fn = jax.jit(
+        lambda p, ei, ej, m, w: optimize_pose_graph(
+            p, ei, ej, m, w, iterations, damping
+        ),
+        out_shardings=(repl, repl),
+    )
+    return fn(*args)

@@ -166,3 +166,46 @@ def test_se3_log_near_pi(rng):
     assert np.isfinite(out).all()
     T2 = np.asarray(se3_exp(jnp.asarray(out)))
     np.testing.assert_allclose(T2, np.asarray(T), atol=1e-2)
+
+
+def test_optimize_sharded_matches_single(rng):
+    """Edge-sharded (psum'd normal equations) solve == single-device
+    solve, including non-divisible edge counts."""
+    from atdn_vslam_tpu.geometry.pose_graph import optimize_pose_graph_sharded
+    from atdn_vslam_tpu.parallel import make_mesh
+
+    n = 9
+    xi = _rand_twists(rng, n - 1, rot_scale=0.05)
+    steps = se3_exp(jnp.asarray(xi))
+    gt = [jnp.eye(4)]
+    for i in range(n - 1):
+        gt.append(gt[-1] @ steps[i])
+    gt = jnp.stack(gt)
+    noise = _rand_twists(rng, n - 1, rot_scale=0.01, tr_scale=0.05)
+    meas = steps @ se3_exp(jnp.asarray(noise))
+    init = [jnp.eye(4)]
+    for i in range(n - 1):
+        init.append(init[-1] @ meas[i])
+    init = jnp.stack(init)
+    ei, ej = odometry_edges(n)  # 8 edges -> divisible by 8 devices
+    lc_i = jnp.asarray([0])
+    lc_j = jnp.asarray([n - 1])
+    lc = se3_inverse(gt[lc_i]) @ gt[lc_j]
+    E_i = jnp.concatenate([ei, lc_i])  # 9 edges -> needs padding
+    E_j = jnp.concatenate([ej, lc_j])
+    M = jnp.concatenate([meas, lc])
+
+    opt_single, mse_single = optimize_pose_graph(
+        init, E_i, E_j, M, iterations=5
+    )
+    mesh = make_mesh()
+    opt_shard, mse_shard = optimize_pose_graph_sharded(
+        mesh, init, E_i, E_j, M, iterations=5
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_shard), np.asarray(opt_single), atol=1e-4
+    )
+    # final mse includes the zero-weight padding edge (dilution), so
+    # compare only magnitude class
+    assert np.isfinite(float(mse_shard))
+    assert float(mse_shard) <= float(mse_single) * 1.5 + 1e-8
