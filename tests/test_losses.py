@@ -110,3 +110,37 @@ def test_mapping_reconstruction_loss(rng):
     np.testing.assert_allclose(
         float(mapping_reconstruction_loss(pred, target)), 0.01, atol=1e-5
     )
+
+
+def test_color_jitter_bounds(rng):
+    import jax
+
+    from atdn_vslam_tpu.training.mapping import color_jitter
+
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, (3, 8, 8, 3)).astype(np.float32)
+    )
+    out = np.asarray(color_jitter(jax.random.key(0), imgs))
+    assert out.shape == imgs.shape
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    assert not np.allclose(out, np.asarray(imgs))
+
+
+def test_gaussian_blur_preserves_mean(rng):
+    from atdn_vslam_tpu.training.mapping import gaussian_blur_5x5
+
+    img = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    out = np.asarray(gaussian_blur_5x5(img))
+    assert out.shape == (1, 16, 16, 3)
+    # interior mean preserved; variance reduced
+    assert abs(out[0, 4:12, 4:12].mean() - float(img[0, 4:12, 4:12].mean())) < 0.05
+    assert out[0, 4:12, 4:12].std() < float(img[0, 4:12, 4:12].std())
+
+
+def test_gaussian_blur_constant_invariant():
+    from atdn_vslam_tpu.training.mapping import gaussian_blur_5x5
+
+    img = jnp.ones((1, 12, 12, 3)) * 7.0
+    out = np.asarray(gaussian_blur_5x5(img))
+    # interior of a constant image stays constant
+    np.testing.assert_allclose(out[0, 2:-2, 2:-2], 7.0, atol=1e-4)
