@@ -141,6 +141,60 @@ def lookup_corr_pyramid(
     return jnp.concatenate(out, axis=-1).reshape(b, h1, w1, -1)
 
 
+def lookup_corr_pyramid_dynslice(
+    pyramid: list[jax.Array],
+    coords: jax.Array,
+    radius: int = 4,
+) -> jax.Array:
+    """Alternative lookup: per-query contiguous row slices + VPU lerp
+    for the y axis, hat-weight matmul for x only.
+
+    Replaces the large (span x Hl) @ (Hl x Wl) batched matmul per query
+    with a vmapped ``dynamic_slice`` of span+1 contiguous rows and an
+    elementwise vertical lerp — trading MXU batch overhead for XLA's
+    gather-of-slices lowering. Semantics identical to
+    :func:`lookup_corr_pyramid` (zero padding outside bounds).
+    """
+    b, h1, w1, _ = coords.shape
+    n1 = h1 * w1
+    span = 2 * radius + 1
+    flat = coords.reshape(b, n1, 2).astype(jnp.float32)
+
+    out = []
+    for level, corr in enumerate(pyramid):
+        hl, wl = corr.shape[2], corr.shape[3]
+        scale = 1.0 / (2.0**level)
+        vol = corr[..., 0]  # (B, N1, Hl, Wl)
+        yc = flat[..., 1] * scale
+        xc = flat[..., 0] * scale
+
+        y0 = jnp.floor(yc - radius)
+        y0i = jnp.clip(y0.astype(jnp.int32), -(span + 1), hl - 1)
+        fy = (yc - radius) - y0i.astype(jnp.float32)
+        # pad rows so any window position reads zeros out of bounds;
+        # fully-OOB windows land entirely in the padding
+        volp = jnp.pad(vol, ((0, 0), (0, 0), (span + 1, span + 1), (0, 0)))
+        start = y0i + (span + 1)
+
+        def slice_rows(v, s):
+            return jax.lax.dynamic_slice_in_dim(v, s, span + 1, axis=0)
+
+        rows10 = jax.vmap(jax.vmap(slice_rows))(volp, start)
+        rows10 = rows10.astype(jnp.float32)
+        fy_ = fy[..., None, None]
+        rows9 = rows10[:, :, :span] * (1.0 - fy_) + rows10[:, :, 1:] * fy_
+
+        wx = _interp_weights(xc, radius, wl)
+        window = jnp.einsum(
+            "bnaw,bncw->bnac",
+            rows9.astype(vol.dtype),
+            wx.astype(vol.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out.append(window.astype(jnp.float32).reshape(b, n1, -1))
+    return jnp.concatenate(out, axis=-1).reshape(b, h1, w1, -1)
+
+
 def lookup_corr_pyramid_gather(
     pyramid: list[jax.Array],
     coords: jax.Array,

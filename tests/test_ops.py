@@ -156,3 +156,16 @@ def test_matmul_lookup_matches_gather(rng):
     a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
     b = np.asarray(lookup_corr_pyramid_gather(pyr, coords, radius=2))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_dynslice_lookup_matches_einsum(rng):
+    from atdn_vslam_tpu.ops.corr_lookup import lookup_corr_pyramid_dynslice
+
+    f1 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, 3)
+    base = coords_grid(6, 9)[None]
+    coords = jnp.concatenate([base + 0.37, base - 3.6], axis=0)
+    a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
+    b = np.asarray(lookup_corr_pyramid_dynslice(pyr, coords, radius=2))
+    np.testing.assert_allclose(a, b, atol=1e-4)
