@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--data-path", type=str, default=None)
     p.add_argument("--sequence", type=str, required=True)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--flow-checkpoint", type=str, default=None,
                    help="msgpack flow variables (tools/convert_torch_"
                         "checkpoint.py output); random init if absent "

@@ -9,9 +9,10 @@ materialized (see ops/attention.py for the rationale).
 
 Default GMA config is content-only attention with a single head
 (ref: utils/gma_parameters.py:8-10 — position_only and
-position_and_content are both False; num_heads=1), so the 2-D relative
-positional embedding path (gma.py:6-31) is intentionally not
-replicated; it is unused by the SLAM system.
+position_and_content are both False; num_heads=1). The 2-D relative
+positional embedding path (gma.py:6-31) is also implemented
+(``RelPosEmb``); enabling it forces the XLA attention path since the
+flash kernel carries no bias.
 """
 
 from __future__ import annotations
@@ -26,17 +27,65 @@ from flax import linen as nn
 from atdn_vslam_tpu.ops.attention import attend
 
 
+class RelPosEmb(nn.Module):
+    """2-D decomposed relative positional scores (ref: gma.py:6-31):
+    learned per-axis embeddings indexed by coordinate deltas, scored
+    against q — returns the (B*heads, N, N) additive attention bias."""
+
+    max_pos_size: int = 160
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, q: jax.Array, h: int, w: int) -> jax.Array:
+        # q: (B*heads, N, d) pre-scaled; treat as (BH, h, w, d)
+        rel_height = self.param(
+            "rel_height",
+            nn.initializers.normal(1.0),
+            (2 * self.max_pos_size - 1, self.dim_head),
+        )
+        rel_width = self.param(
+            "rel_width",
+            nn.initializers.normal(1.0),
+            (2 * self.max_pos_size - 1, self.dim_head),
+        )
+        deltas = (
+            jnp.arange(self.max_pos_size)[None, :]
+            - jnp.arange(self.max_pos_size)[:, None]
+            + self.max_pos_size
+            - 1
+        )
+        height_emb = rel_height[deltas[:h, :h].reshape(-1)].reshape(
+            h, h, self.dim_head
+        )
+        width_emb = rel_width[deltas[:w, :w].reshape(-1)].reshape(
+            w, w, self.dim_head
+        )
+        qg = q.reshape(-1, h, w, q.shape[-1]).astype(jnp.float32)
+        # score[x, y, u, v] = <q[x, y], height_emb[x, u]> + <q[x, y], width_emb[y, v]>
+        hs = jnp.einsum("bxyd,xud->bxyu", qg, height_emb.astype(jnp.float32))
+        ws = jnp.einsum("bxyd,yvd->bxyv", qg, width_emb.astype(jnp.float32))
+        bias = hs[:, :, :, :, None] + ws[:, :, :, None, :]
+        return bias.reshape(q.shape[0], h * w, h * w)
+
+
 class AttentionQK(nn.Module):
     """1x1-conv q/k projections (ref: gma.py:50,57-59). Returns
-    (q, k) shaped (B*heads, H*W, dim_head), with the 1/sqrt(d) scale
-    pre-applied to q (gma.py:60)."""
+    (q, k, bias) with q/k shaped (B*heads, H*W, dim_head), the
+    1/sqrt(d) scale pre-applied to q (gma.py:60), and ``bias`` the
+    optional relative-positional score matrix (None for the default
+    content-only config; ref gma.py:62-71)."""
 
     heads: int = 1
     dim_head: int = 128
     dtype: Any = jnp.float32
+    position_only: bool = False
+    position_and_content: bool = False
+    max_pos_size: int = 160
 
     @nn.compact
-    def __call__(self, fmap: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def __call__(
+        self, fmap: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
         b, h, w, _ = fmap.shape
         inner = self.heads * self.dim_head
         qk = nn.Conv(
@@ -45,7 +94,11 @@ class AttentionQK(nn.Module):
         q, k = jnp.split(qk, 2, axis=-1)
         q = rearrange(q, "b x y (h d) -> (b h) (x y) d", h=self.heads)
         k = rearrange(k, "b x y (h d) -> (b h) (x y) d", h=self.heads)
-        return q * (self.dim_head**-0.5), k
+        q = q * (self.dim_head**-0.5)
+        bias = None
+        if self.position_only or self.position_and_content:
+            bias = RelPosEmb(self.max_pos_size, self.dim_head)(q, h, w)
+        return q, k, bias
 
 
 class Aggregate(nn.Module):
@@ -57,17 +110,25 @@ class Aggregate(nn.Module):
     dim_head: int = 128
     dtype: Any = jnp.float32
     use_pallas: bool | None = None
+    position_only: bool = False
 
     @nn.compact
     def __call__(
-        self, q: jax.Array, k: jax.Array, fmap: jax.Array
+        self,
+        q: jax.Array,
+        k: jax.Array,
+        fmap: jax.Array,
+        bias: jax.Array | None = None,
     ) -> jax.Array:
         b, h, w, dim = fmap.shape
         inner = self.heads * self.dim_head
         v = nn.Conv(inner, (1, 1), use_bias=False, dtype=self.dtype)(fmap)
         v = rearrange(v, "b x y (h d) -> (b h) (x y) d", h=self.heads)
         # q is pre-scaled by AttentionQK -> scale=1 here
-        out = attend(q, k, v, scale=1.0, use_pallas=self.use_pallas)
+        out = attend(
+            q, k, v, scale=1.0, use_pallas=self.use_pallas,
+            bias=bias, position_only=self.position_only,
+        )
         out = rearrange(
             out, "(b h) (x y) d -> b x y (h d)", h=self.heads, x=h, y=w
         )

@@ -49,9 +49,10 @@ class _UpdateStep(nn.Module):
     dtype: Any
     use_pallas: bool | None
     upsample_in_scan: bool
+    position_only: bool = False
 
     @nn.compact
-    def __call__(self, carry, inp, q, k, pyramid):
+    def __call__(self, carry, inp, q, k, bias, pyramid):
         net, coords1, _last_mask = carry
         b, h, w, _ = coords1.shape
         coords0 = coords_grid(h, w)[None]
@@ -59,7 +60,8 @@ class _UpdateStep(nn.Module):
         flow = coords1 - coords0
 
         net, up_mask, delta_flow = GMAUpdateBlock(
-            self.hidden_dim, self.heads, self.dtype, self.use_pallas
+            self.hidden_dim, self.heads, self.dtype, self.use_pallas,
+            self.position_only,
         )(
             net,
             inp,
@@ -67,6 +69,7 @@ class _UpdateStep(nn.Module):
             flow.astype(self.dtype),
             q,
             k,
+            bias,
         )
         coords1 = coords1 + delta_flow.astype(jnp.float32)
 
@@ -92,6 +95,8 @@ class RAFTGMA(nn.Module):
     heads: int = 1
     dtype: Any = jnp.float32
     use_pallas: bool | None = None
+    position_only: bool = False
+    position_and_content: bool = False
 
     @nn.compact
     def __call__(
@@ -136,7 +141,11 @@ class RAFTGMA(nn.Module):
         net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
         net = jnp.tanh(net)
         inp = jax.nn.relu(inp)
-        q, k = AttentionQK(self.heads, 128, dtype=self.dtype)(inp)
+        q, k, bias = AttentionQK(
+            self.heads, 128, dtype=self.dtype,
+            position_only=self.position_only,
+            position_and_content=self.position_and_content,
+        )(inp)
 
         b, h8, w8, _ = net.shape
         coords0 = coords_grid(h8, w8)[None]
@@ -149,7 +158,8 @@ class RAFTGMA(nn.Module):
             _UpdateStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast, nn.broadcast),
             out_axes=0,
             length=self.iters,
         )(
@@ -159,10 +169,11 @@ class RAFTGMA(nn.Module):
             self.dtype,
             self.use_pallas,
             upsample_in_scan,
+            self.position_only,
         )
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), self.dtype)
         (net, coords1, final_mask), outs = scan(
-            (net, coords1, mask0), inp, q, k, pyramid
+            (net, coords1, mask0), inp, q, k, bias, pyramid
         )
 
         flow_low = coords1 - coords0

@@ -81,6 +81,7 @@ class GMAUpdateBlock(nn.Module):
     heads: int = 1
     dtype: Any = jnp.float32
     use_pallas: bool | None = None
+    position_only: bool = False
 
     @nn.compact
     def __call__(
@@ -91,11 +92,13 @@ class GMAUpdateBlock(nn.Module):
         flow: jax.Array,
         q: jax.Array,
         k: jax.Array,
+        bias: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         motion = BasicMotionEncoder(self.dtype)(flow, corr)
         motion_global = Aggregate(
-            self.heads, 128, self.dtype, self.use_pallas
-        )(q, k, motion)
+            self.heads, 128, self.dtype, self.use_pallas,
+            self.position_only,
+        )(q, k, motion, bias)
         cat = jnp.concatenate([inp, motion, motion_global], axis=-1)
         net = SepConvGRU(self.hidden_dim, self.dtype)(net, cat)
         delta_flow = FlowHead(256, self.dtype)(net)

@@ -30,17 +30,33 @@ NEG_INF = -1e30
 
 
 def attend_reference(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    bias: jax.Array | None = None,
+    position_only: bool = False,
 ) -> jax.Array:
-    """XLA reference: out = softmax(scale * q k^T) v.
+    """XLA reference: out = softmax(scale * q k^T [+ bias]) v.
 
     :param q, k: (B, N, D); v: (B, N, Dv). float32 accumulation.
+    :param bias: optional (B, N, N) additive scores (relative
+        positional embeddings, ref GMA/core/gma.py:62-68).
+    :param position_only: use ``bias`` alone as the similarity
+        (ref gma.py:62-63).
     """
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
-    s = jnp.einsum(
-        "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    if position_only:
+        if bias is None:
+            raise ValueError("position_only attention requires a bias")
+        s = bias.astype(jnp.float32)
+    else:
+        s = jnp.einsum(
+            "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            s = s + bias.astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum(
         "bnm,bmd->bnd", p.astype(v.dtype), v,
@@ -176,12 +192,19 @@ def attend(
     v: jax.Array,
     scale: float | None = None,
     use_pallas: bool | None = None,
+    bias: jax.Array | None = None,
+    position_only: bool = False,
 ) -> jax.Array:
     """Dispatch between the Pallas flash kernel and the XLA path.
 
     ``use_pallas=None`` (auto): flash on TPU when the token count makes
     the materialized similarity matrix prohibitive, XLA otherwise.
+    Positional-bias modes always take the XLA path (the flash kernel
+    carries no bias support; those modes are off in the reference
+    config, utils/gma_parameters.py:9-10).
     """
+    if bias is not None or position_only:
+        return attend_reference(q, k, v, scale, bias, position_only)
     if use_pallas is None:
         from atdn_vslam_tpu.utils.platform import is_tpu
 
