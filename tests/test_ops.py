@@ -169,3 +169,22 @@ def test_dynslice_lookup_matches_einsum(rng):
     a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
     b = np.asarray(lookup_corr_pyramid_dynslice(pyr, coords, radius=2))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_pallas_lookup_matches_einsum_interpret(rng):
+    """The Pallas lookup kernel (interpret mode) == the production
+    einsum lookup, including out-of-bounds zero padding."""
+    from atdn_vslam_tpu.ops.corr_lookup_pallas import (
+        lookup_corr_pyramid_pallas,
+    )
+
+    f1 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, 3)
+    base = coords_grid(6, 9)[None]
+    coords = jnp.concatenate([base + 0.37, base - 3.6], axis=0)
+    a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
+    b = np.asarray(
+        lookup_corr_pyramid_pallas(pyr, coords, radius=2, interpret=True)
+    )
+    np.testing.assert_allclose(a, b, atol=1e-4)
