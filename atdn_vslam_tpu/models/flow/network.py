@@ -102,32 +102,50 @@ class RAFTGMA(nn.Module):
     def __call__(
         self,
         image1: jax.Array,
-        image2: jax.Array,
+        image2: jax.Array | None = None,
         train: bool = False,
         test_mode: bool = True,
         flow_init: jax.Array | None = None,
+        fmap1: jax.Array | None = None,
+        return_features: bool = False,
+        encode_only: bool = False,
     ):
         """Estimate flow between an RGB frame pair.
 
         :param image1, image2: (B, H, W, 3) RGB in [0, 255]; H and W
             must be multiples of 8.
+        :param fmap1: optional cached feature map for ``image1`` (from a
+            previous call's ``return_features`` output / ``encode_only``).
+            In streaming video each frame is image2 of one pair and
+            image1 of the next — caching halves the feature-encoder
+            cost, the largest fixed cost of the pipeline. The reference
+            re-encodes both frames every pair (GMA/core/network.py:86).
+        :param return_features: also return ``fmap2`` for reuse as the
+            next pair's ``fmap1`` (test mode only).
+        :param encode_only: run just the feature encoder on ``image1``
+            and return its feature map (bootstraps a streaming scan).
         :return: test_mode -> (low-res flow (B, H/8, W/8, 2),
-            upsampled flow (B, H, W, 2)), matching network.py:126-127;
-            otherwise a (iters, B, H, W, 2) stack of upsampled
-            predictions for the sequence loss (network.py:106-129).
+            upsampled flow (B, H, W, 2)), matching network.py:126-127
+            (plus fmap2 if ``return_features``); otherwise a
+            (iters, B, H, W, 2) stack of upsampled predictions for the
+            sequence loss (network.py:106-129).
         """
         if image1.shape[-3] % 8 or image1.shape[-2] % 8:
             raise ValueError(
                 f"Image size {image1.shape[-3:-1]} not divisible by 8"
             )
         image1 = 2.0 * (image1 / 255.0) - 1.0
+        fnet = BasicEncoder(256, "instance", dtype=self.dtype)
+        if encode_only:
+            return fnet(image1, train)
         image2 = 2.0 * (image2 / 255.0) - 1.0
 
-        # feature encoder over both frames in one batched pass
-        fmaps = BasicEncoder(256, "instance", dtype=self.dtype)(
-            jnp.concatenate([image1, image2], axis=0), train
-        )
-        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        if fmap1 is None:
+            # feature encoder over both frames in one batched pass
+            fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
+            fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        else:
+            fmap2 = fnet(image2, train)
         pyramid = tuple(
             build_corr_pyramid(
                 fmap1, fmap2, self.corr_levels, dtype=self.dtype
@@ -181,5 +199,7 @@ class RAFTGMA(nn.Module):
             flow_up = convex_upsample(
                 flow_low, final_mask.astype(jnp.float32)
             )
+            if return_features:
+                return (flow_low, flow_up), fmap2
             return flow_low, flow_up
         return outs

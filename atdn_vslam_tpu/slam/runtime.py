@@ -81,10 +81,12 @@ class SlamRuntime:
         # jitted hot paths
         self._odometry_step = jax.jit(self._odometry_step_fn)
         self._encode = jax.jit(self._encode_fn)
+        self._fnet = jax.jit(self._fnet_fn)
 
         # odometry state
         self._carry = self.odometry_model.init_carry(1)
         self._image_buffer: jax.Array | None = None
+        self._stream_fmap: jax.Array | None = None
         self._current_pose = np.eye(4, dtype=np.float64)
         self._propagation = np.eye(4, dtype=np.float64)
 
@@ -105,18 +107,29 @@ class SlamRuntime:
 
     # -- jitted cores ---------------------------------------------------
 
-    def _odometry_step_fn(self, flow_vars, odo_vars, im1, im2, carry):
+    def _odometry_step_fn(
+        self, flow_vars, odo_vars, im1, im2, carry, fmap1=None
+    ):
         """(frame pair, carry) -> (rel pose 4x4 f32, upsampled flow,
-        new carry). The device round trip of the hot loop
-        (ref: neural_slam.py:202-204)."""
-        _, flow = self.flow_model.apply(
-            flow_vars, im1[None], im2[None], test_mode=True
+        new carry, im2's feature map). The device round trip of the hot
+        loop (ref: neural_slam.py:202-204). ``fmap1`` is the cached
+        feature map of ``im1`` from the previous streaming step — each
+        video frame is encoded once instead of twice."""
+        (_, flow), fmap2 = self.flow_model.apply(
+            flow_vars, im1[None], im2[None], test_mode=True,
+            fmap1=fmap1, return_features=True,
         )
         (rot, tr), carry = self.odometry_model.apply(
             odo_vars, flow[:, None], carry
         )
         mat = pose_to_matrix(rot[0, 0], tr[0, 0])
-        return mat, flow[0], carry
+        return mat, flow[0], carry, fmap2
+
+    def _fnet_fn(self, flow_vars, image):
+        """Feature-encode one frame (bootstraps the streaming cache)."""
+        return self.flow_model.apply(
+            flow_vars, image[None], encode_only=True
+        )
 
     def _encode_fn(self, map_vars, images):
         return self.mapping_model.apply(
@@ -166,14 +179,15 @@ class SlamRuntime:
         im = self._prepare(image)
         if self._image_buffer is None:
             self._image_buffer = im
+            self._stream_fmap = self._fnet(self._flow_vars, im)
             self.keyframes.append(
                 np.asarray(im, np.uint8), self._current_pose
             )
             return self._current_pose.copy()
 
-        mat, _flow, self._carry = self._odometry_step(
+        mat, _flow, self._carry, self._stream_fmap = self._odometry_step(
             self._flow_vars, self._odo_vars, self._image_buffer, im,
-            self._carry,
+            self._carry, self._stream_fmap,
         )
         pred = np.asarray(mat, np.float64)
         self._current_pose = self._current_pose @ pred
@@ -228,13 +242,16 @@ class SlamRuntime:
 
             def scan_chunk(flow_vars, odo_vars, pairs, carry):
                 def step(carry, pair):
+                    odo_carry, fmap_prev = carry
                     im1, im2 = pair
-                    _, flow = flow_model.apply(
-                        flow_vars, im1[None], im2[None], test_mode=True
+                    (_, flow), fmap2 = flow_model.apply(
+                        flow_vars, im1[None], im2[None], test_mode=True,
+                        fmap1=fmap_prev, return_features=True,
                     )
-                    (rot, tr), carry = odo_model.apply(
-                        odo_vars, flow[:, None], carry
+                    (rot, tr), odo_carry = odo_model.apply(
+                        odo_vars, flow[:, None], odo_carry
                     )
+                    carry = (odo_carry, fmap2)
                     # emit the carry too so padded tail steps can be
                     # discarded without polluting the runtime state
                     return carry, (pose_to_matrix(rot[0, 0], tr[0, 0]), carry)
@@ -247,6 +264,7 @@ class SlamRuntime:
         first = self._prepare(frames[0])
         self.keyframes.append(np.asarray(first, np.uint8), self._current_pose)
         poses = [self._current_pose.copy()]
+        self._stream_fmap = self._fnet(self._flow_vars, first)
 
         # process in chunks, preparing/uploading only chunk+1 frames at
         # a time (the full KITTI sequence would not fit device memory)
@@ -264,10 +282,13 @@ class SlamRuntime:
                 im1 = jnp.concatenate([im1, pad])
                 im2 = jnp.concatenate([im2, pad])
             mats, carries = self._scan_step(
-                self._flow_vars, self._odo_vars, (im1, im2), self._carry
+                self._flow_vars, self._odo_vars, (im1, im2),
+                (self._carry, self._stream_fmap),
             )
             # adopt the carry at the last VALID step, not the padded tail
-            self._carry = jax.tree.map(lambda x: x[count - 1], carries)
+            self._carry, self._stream_fmap = jax.tree.map(
+                lambda x: x[count - 1], carries
+            )
             for j, pred in enumerate(np.asarray(mats, np.float64)[:count]):
                 self._current_pose = self._current_pose @ pred
                 if self._decide_keyframe(pred):
@@ -338,7 +359,7 @@ class SlamRuntime:
 
         key_rgb = self._prepare(self.keyframes.read_rgb(idx))
         carry = self.odometry_model.init_carry(1)
-        mat, _flow, _carry = self._odometry_step(
+        mat, _flow, _carry, _fmap = self._odometry_step(
             self._flow_vars, self._odo_vars, key_rgb, im, carry
         )
         refined = initial @ np.asarray(mat, np.float64)

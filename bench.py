@@ -83,20 +83,24 @@ def main() -> int:
         LSTM state; returns the final accumulated pose."""
 
         def step(carry, pair):
-            lstm_carry, pose = carry
+            lstm_carry, pose, fmap_prev = carry
             im1, im2 = pair
-            _, flow = flow_model.apply(
-                flow_vars, im1[None], im2[None], test_mode=True
+            # fmap_prev: each frame is feature-encoded ONCE (as im2);
+            # its map is reused when it becomes im1 of the next pair.
+            (_, flow), fmap2 = flow_model.apply(
+                flow_vars, im1[None], im2[None], test_mode=True,
+                fmap1=fmap_prev, return_features=True,
             )
             (rot, tr), lstm_carry = odo_model.apply(
                 odo_vars, flow[:, None], lstm_carry
             )
             pose = pose @ pose_to_matrix(rot[0, 0], tr[0, 0])
-            return (lstm_carry, pose), None
+            return (lstm_carry, pose, fmap2), None
 
         pairs = (frames[:-1], frames[1:])
-        init = (odo_model.init_carry(1), jnp.eye(4))
-        (carry, pose), _ = jax.lax.scan(step, init, pairs)
+        fmap0 = flow_model.apply(flow_vars, frames[:1], encode_only=True)
+        init = (odo_model.init_carry(1), jnp.eye(4), fmap0)
+        (carry, pose, _), _ = jax.lax.scan(step, init, pairs)
         return pose
 
     # compile + warmup (value fetch = real fence)

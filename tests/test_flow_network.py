@@ -97,6 +97,35 @@ def test_gradients_flow_sequence_loss(model_and_vars):
     assert nonzero > len(leaves) * 0.8
 
 
+def test_feature_cache_streaming_equivalence(model_and_vars):
+    """Streaming feature cache: passing image1's cached fmap
+    (encode_only / return_features) must reproduce the joint-encode
+    result exactly — instance norm is per-sample, so batch composition
+    cannot matter. This is the video hot-path optimization (each frame
+    encoded once, not twice)."""
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(11)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+
+    low_ref, up_ref = model.apply(vars_, im1, im2, test_mode=True)
+
+    fmap1 = model.apply(vars_, im1, encode_only=True)
+    assert fmap1.shape == (1, H // 8, W // 8, 256)
+    (low_c, up_c), fmap2 = model.apply(
+        vars_, im1, im2, test_mode=True, fmap1=fmap1, return_features=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(low_c), np.asarray(low_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(up_c), np.asarray(up_ref), atol=1e-5)
+    # the returned fmap2 chains: it equals encode_only(im2)
+    fmap2_ref = model.apply(vars_, im2, encode_only=True)
+    np.testing.assert_allclose(
+        np.asarray(fmap2), np.asarray(fmap2_ref), atol=1e-5
+    )
+
+
 def test_positional_attention_modes():
     """position_and_content and position_only configs (ref GMA args,
     utils/gma_parameters.py:9-10) run and differ from content-only."""
