@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from atdn_vslam_tpu.ops.attention import attend
+from atdn_vslam_tpu.ops.attention import attend, apply_attention_probs
 
 
 class RelPosEmb(nn.Module):
@@ -115,20 +115,26 @@ class Aggregate(nn.Module):
     @nn.compact
     def __call__(
         self,
-        q: jax.Array,
-        k: jax.Array,
+        q: jax.Array | None,
+        k: jax.Array | None,
         fmap: jax.Array,
         bias: jax.Array | None = None,
+        probs: jax.Array | None = None,
     ) -> jax.Array:
         b, h, w, dim = fmap.shape
         inner = self.heads * self.dim_head
         v = nn.Conv(inner, (1, 1), use_bias=False, dtype=self.dtype)(fmap)
         v = rearrange(v, "b x y (h d) -> (b h) (x y) d", h=self.heads)
-        # q is pre-scaled by AttentionQK -> scale=1 here
-        out = attend(
-            q, k, v, scale=1.0, use_pallas=self.use_pallas,
-            bias=bias, position_only=self.position_only,
-        )
+        if probs is not None:
+            # probabilities materialized once outside the update scan
+            # (iteration-invariant; ops/attention.py rationale)
+            out = apply_attention_probs(probs, v)
+        else:
+            # q is pre-scaled by AttentionQK -> scale=1 here
+            out = attend(
+                q, k, v, scale=1.0, use_pallas=self.use_pallas,
+                bias=bias, position_only=self.position_only,
+            )
         out = rearrange(
             out, "(b h) (x y) d -> b x y (h d)", h=self.heads, x=h, y=w
         )

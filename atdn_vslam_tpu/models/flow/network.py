@@ -30,6 +30,10 @@ from flax import linen as nn
 
 from atdn_vslam_tpu.models.flow.extractor import BasicEncoder
 from atdn_vslam_tpu.models.flow.gma import AttentionQK
+from atdn_vslam_tpu.ops.attention import (
+    _MATERIALIZE_MAX_TOKENS,
+    attention_probs,
+)
 from atdn_vslam_tpu.models.flow.update import GMAUpdateBlock
 from atdn_vslam_tpu.ops.bilinear import coords_grid
 from atdn_vslam_tpu.ops.corr_lookup import (
@@ -52,7 +56,7 @@ class _UpdateStep(nn.Module):
     position_only: bool = False
 
     @nn.compact
-    def __call__(self, carry, inp, q, k, bias, pyramid):
+    def __call__(self, carry, inp, q, k, bias, probs, pyramid):
         net, coords1, _last_mask = carry
         b, h, w, _ = coords1.shape
         coords0 = coords_grid(h, w)[None]
@@ -70,6 +74,7 @@ class _UpdateStep(nn.Module):
             q,
             k,
             bias,
+            probs,
         )
         coords1 = coords1 + delta_flow.astype(jnp.float32)
 
@@ -165,6 +170,24 @@ class RAFTGMA(nn.Module):
             position_and_content=self.position_and_content,
         )(inp)
 
+        # The attention scores are iteration-invariant (q/k come from
+        # the context image; only v changes each update). Below the
+        # materialization bound, softmax once and reuse the (N, N)
+        # probabilities for all iterations — 12 P@V reads beat 12
+        # QK^T+softmax recomputes (ops/attention.py). use_pallas=True
+        # forces the streaming flash path instead.
+        n_tokens = q.shape[-2]
+        if self.use_pallas is not True and (
+            n_tokens <= _MATERIALIZE_MAX_TOKENS
+        ):
+            probs = attention_probs(
+                q, k, scale=1.0, bias=bias,
+                position_only=self.position_only,
+            )
+            q = k = bias = None
+        else:
+            probs = None
+
         b, h8, w8, _ = net.shape
         coords0 = coords_grid(h8, w8)[None]
         coords1 = jnp.broadcast_to(coords0, (b, h8, w8, 2))
@@ -177,7 +200,7 @@ class RAFTGMA(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast, nn.broadcast),
+                     nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=self.iters,
         )(
@@ -191,7 +214,7 @@ class RAFTGMA(nn.Module):
         )
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), self.dtype)
         (net, coords1, final_mask), outs = scan(
-            (net, coords1, mask0), inp, q, k, bias, pyramid
+            (net, coords1, mask0), inp, q, k, bias, probs, pyramid
         )
 
         flow_low = coords1 - coords0

@@ -90,15 +90,16 @@ class GMAUpdateBlock(nn.Module):
         inp: jax.Array,
         corr: jax.Array,
         flow: jax.Array,
-        q: jax.Array,
-        k: jax.Array,
+        q: jax.Array | None,
+        k: jax.Array | None,
         bias: jax.Array | None = None,
+        probs: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         motion = BasicMotionEncoder(self.dtype)(flow, corr)
         motion_global = Aggregate(
             self.heads, 128, self.dtype, self.use_pallas,
             self.position_only,
-        )(q, k, motion, bias)
+        )(q, k, motion, bias, probs)
         cat = jnp.concatenate([inp, motion, motion_global], axis=-1)
         net = SepConvGRU(self.hidden_dim, self.dtype)(net, cat)
         delta_flow = FlowHead(256, self.dtype)(net)

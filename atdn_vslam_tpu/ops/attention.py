@@ -185,6 +185,55 @@ def flash_attend(
 # by default.
 _FLASH_MIN_TOKENS = 16384
 
+# Token bound for materializing the softmax probabilities ONCE and
+# reusing them across the recurrent update iterations (q/k are
+# iteration-invariant in GMA — only v changes). At KITTI resolution
+# (N=7238) the bf16 matrix is 105 MB: twelve P@V reads are far cheaper
+# than twelve QK^T+softmax recomputes. At 8192 tokens the matrix is
+# 128 MB bf16; beyond that the streaming/flash recompute path wins.
+_MATERIALIZE_MAX_TOKENS = 8192
+
+
+def attention_probs(
+    q: jax.Array,
+    k: jax.Array,
+    scale: float | None = None,
+    bias: jax.Array | None = None,
+    position_only: bool = False,
+    store_dtype=None,
+) -> jax.Array:
+    """Materialize softmax(scale * q k^T [+ bias]) for iteration reuse.
+
+    The reference does exactly this (GMA/core/gma.py:54-76 builds the
+    dense ``attn`` once; update.py:125-130 re-applies it every
+    iteration); below :data:`_MATERIALIZE_MAX_TOKENS` it is also the
+    fastest TPU schedule. Returns (B, N, N) in ``store_dtype``
+    (default: q's dtype — bf16 on the TPU path, halving re-read
+    bandwidth)."""
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    if position_only:
+        if bias is None:
+            raise ValueError("position_only attention requires a bias")
+        s = bias.astype(jnp.float32)
+    else:
+        s = jnp.einsum(
+            "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return p.astype(store_dtype or q.dtype)
+
+
+def apply_attention_probs(probs: jax.Array, v: jax.Array) -> jax.Array:
+    """out = probs @ v with float32 accumulation (the per-iteration
+    cost once the probabilities are materialized)."""
+    return jnp.einsum(
+        "bnm,bmd->bnd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
 
 def attend(
     q: jax.Array,

@@ -15,5 +15,12 @@ from atdn_vslam_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from atdn_vslam_tpu.parallel.flow_sharding import sharded_flow_infer
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "sharded_flow_infer",
+]

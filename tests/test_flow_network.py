@@ -156,6 +156,31 @@ def test_positional_attention_modes():
     assert not np.allclose(outs["content"], outs["pos_only"])
 
 
+def test_sharded_flow_inference_matches(model_and_vars):
+    """Corr-volume / attention model-axis sharding: running the flow
+    net with image rows sharded over an 8-device "model" mesh must
+    reproduce the single-device result (GSPMD inserts conv halos and
+    the k/v gather; each device builds only its slice of the volume)."""
+    from atdn_vslam_tpu.config import MeshConfig
+    from atdn_vslam_tpu.parallel import make_mesh, sharded_flow_infer
+
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(21)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+
+    low_ref, up_ref = model.apply(vars_, im1, im2, test_mode=True)
+
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    low_s, up_s = sharded_flow_infer(model, vars_, im1, im2, mesh)
+    np.testing.assert_allclose(
+        np.asarray(low_s), np.asarray(low_ref), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(up_s), np.asarray(up_ref), atol=5e-4
+    )
+
+
 def test_relpos_bias_structure():
     """RelPosEmb bias: decomposed height+width scores with correct
     shape and translation structure along each axis."""

@@ -95,6 +95,33 @@ def test_attend_reference_is_softmax_matmul(rng):
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
 
+def test_materialized_probs_match_attend(rng):
+    """attention_probs + apply_attention_probs (the iteration-reuse
+    schedule) == fused attend_reference, with and without bias."""
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        apply_attention_probs,
+    )
+
+    q = jnp.asarray(rng.normal(size=(2, 12, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 12, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 12, 4)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2, 12, 12)).astype(np.float32))
+
+    for b in (None, bias):
+        ref = np.asarray(attend_reference(q, k, v, scale=1.0, bias=b))
+        probs = attention_probs(q, k, scale=1.0, bias=b)
+        got = np.asarray(apply_attention_probs(probs, v))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    # position_only mode uses the bias alone as the similarity
+    ref = np.asarray(
+        attend_reference(q, k, v, bias=bias, position_only=True)
+    )
+    probs = attention_probs(q, k, bias=bias, position_only=True)
+    got = np.asarray(apply_attention_probs(probs, v))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 @pytest.mark.parametrize("n", [64, 100, 300])
 def test_flash_attend_matches_reference(rng, n):
     """Pallas flash kernel (interpret mode on CPU) == XLA reference,
@@ -168,6 +195,36 @@ def test_dynslice_lookup_matches_einsum(rng):
     coords = jnp.concatenate([base + 0.37, base - 3.6], axis=0)
     a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
     b = np.asarray(lookup_corr_pyramid_dynslice(pyr, coords, radius=2))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_slab_lookup_matches_einsum_interpret(rng):
+    """Slab-slice Pallas lookup (interpret mode) == einsum path,
+    including far out-of-bounds coords (zero padding) and q_blk
+    padding of a non-divisible query count."""
+    from atdn_vslam_tpu.ops.corr_lookup_slab import (
+        lookup_corr_pyramid_slab,
+    )
+
+    f1 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, 3)
+    coords = jnp.asarray(
+        np.stack(
+            [
+                np.random.default_rng(3).uniform(-5, 14, (2, 6, 9)),
+                np.random.default_rng(4).uniform(-5, 11, (2, 6, 9)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    a = np.asarray(lookup_corr_pyramid(pyr, coords, radius=2))
+    b = np.asarray(
+        lookup_corr_pyramid_slab(
+            tuple(pyr), coords, radius=2, q_blk=16, interpret=True
+        )
+    )
+    assert b.shape == a.shape
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
