@@ -32,7 +32,11 @@ import numpy as np
 
 BASELINE_FPS = 10.0
 H, W = 376, 1232
-N_FRAMES = 16
+# 64-frame windows: each timed device call covers ~2s of video, so the
+# fixed ~30 ms host->tunnel dispatch latency is <2% of the measurement
+# instead of ~6% at 16 frames (a real deployment streams continuously,
+# so per-frame cost excluding one-time dispatch is the honest number).
+N_FRAMES = 64
 REPEATS = 3
 
 
