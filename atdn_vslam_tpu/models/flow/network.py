@@ -11,10 +11,12 @@ TPU-native re-design of ref: GMA/core/network.py:26-129:
   * the attention matrix is never materialized — q/k are computed once
     and ``softmax(q k^T) v`` is fused per iteration (see
     ops/attention.py and models/flow/gma.py);
-  * in test mode the learned convex upsampling runs once on the final
-    flow instead of every iteration (the reference upsamples every
-    iteration even in test mode and discards 11 of them,
-    network.py:116-127).
+  * in test mode the learned convex upsampling AND its mask-head convs
+    run once on the final flow instead of every iteration (the
+    reference computes both every iteration even in test mode and
+    discards 11 of 12, network.py:116-127, update.py:135-138) — the
+    update recurrence is an ``iters-1``-step ``nn.scan`` plus one final
+    direct call on the same shared-parameter step module.
 
 Hyperparameters fixed by the reference: hidden/context dim 128,
 4 correlation levels, radius 4 (network.py:31-34).
@@ -44,8 +46,13 @@ from atdn_vslam_tpu.ops.upsample import convex_upsample
 
 
 class _UpdateStep(nn.Module):
-    """One scanned recurrence step: corr lookup -> GMA update -> flow
-    integrate (ref: network.py:107-122)."""
+    """One recurrence step: corr lookup -> GMA update -> flow
+    integrate (ref: network.py:107-122).
+
+    A single instance is shared between the ``iters-1``-step scan and
+    one final direct call (same params, flax function-scan pattern), so
+    the upsample-mask head runs exactly once per frame pair in test
+    mode instead of every iteration."""
 
     corr_radius: int
     hidden_dim: int
@@ -56,8 +63,9 @@ class _UpdateStep(nn.Module):
     position_only: bool = False
 
     @nn.compact
-    def __call__(self, carry, inp, q, k, bias, probs, pyramid):
-        net, coords1, _last_mask = carry
+    def __call__(self, carry, inp, q, k, bias, probs, pyramid,
+                 last: bool = False):
+        net, coords1 = carry
         b, h, w, _ = coords1.shape
         coords0 = coords_grid(h, w)[None]
         corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
@@ -75,6 +83,9 @@ class _UpdateStep(nn.Module):
             k,
             bias,
             probs,
+            # test mode: only the final mask is consumed — the scanned
+            # steps skip the mask-head convs entirely (static flag).
+            compute_mask=self.upsample_in_scan or last,
         )
         coords1 = coords1 + delta_flow.astype(jnp.float32)
 
@@ -83,12 +94,8 @@ class _UpdateStep(nn.Module):
                 (coords1 - coords0), up_mask.astype(jnp.float32)
             )
         else:
-            # test mode: only the final mask is needed — keep it in the
-            # carry (overwritten each step) instead of stacking 12
-            # full-size mask tensors through the scan outputs
-            # (~200 MB/frame of pointless HBM traffic at KITTI res).
             out = None
-        return (net, coords1, up_mask), out
+        return (net, coords1), (out, up_mask if last else None)
 
 
 class RAFTGMA(nn.Module):
@@ -195,15 +202,7 @@ class RAFTGMA(nn.Module):
             coords1 = coords1 + flow_init
 
         upsample_in_scan = not test_mode
-        scan = nn.scan(
-            _UpdateStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast, nn.broadcast, nn.broadcast),
-            out_axes=0,
-            length=self.iters,
-        )(
+        step = _UpdateStep(
             self.corr_radius,
             self.hidden_dim,
             self.heads,
@@ -211,11 +210,37 @@ class RAFTGMA(nn.Module):
             self.use_pallas,
             upsample_in_scan,
             self.position_only,
+            name="update",
         )
-        mask0 = jnp.zeros((b, h8, w8, 64 * 9), self.dtype)
-        (net, coords1, final_mask), outs = scan(
-            (net, coords1, mask0), inp, q, k, bias, probs, pyramid
+        carry = (net, coords1)
+        if self.iters > 1:
+            # iters-1 scanned steps + one final direct call on the SAME
+            # module instance (shared params): in test mode only the
+            # final call computes the upsample mask.
+            def body(mdl, carry, inp, q, k, bias, probs, pyramid):
+                carry, (out, _) = mdl(
+                    carry, inp, q, k, bias, probs, pyramid, last=False
+                )
+                return carry, out
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=self.iters - 1,
+            )
+            carry, outs = scan(
+                step, carry, inp, q, k, bias, probs, pyramid
+            )
+        else:
+            outs = None
+        carry, (out_last, final_mask) = step(
+            carry, inp, q, k, bias, probs, pyramid, last=True
         )
+        net, coords1 = carry
 
         flow_low = coords1 - coords0
         if test_mode:
@@ -225,4 +250,6 @@ class RAFTGMA(nn.Module):
             if return_features:
                 return (flow_low, flow_up), fmap2
             return flow_low, flow_up
-        return outs
+        if outs is None:
+            return out_last[None]
+        return jnp.concatenate([outs, out_last[None]], axis=0)

@@ -94,6 +94,7 @@ class GMAUpdateBlock(nn.Module):
         k: jax.Array | None,
         bias: jax.Array | None = None,
         probs: jax.Array | None = None,
+        compute_mask: bool = True,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         motion = BasicMotionEncoder(self.dtype)(flow, corr)
         motion_global = Aggregate(
@@ -103,6 +104,17 @@ class GMAUpdateBlock(nn.Module):
         cat = jnp.concatenate([inp, motion, motion_global], axis=-1)
         net = SepConvGRU(self.hidden_dim, self.dtype)(net, cat)
         delta_flow = FlowHead(256, self.dtype)(net)
-        mask = _conv(256, (3, 3), self.dtype)(net)
-        mask = _conv(64 * 9, (1, 1), self.dtype)(jax.nn.relu(mask))
-        return net, 0.25 * mask, delta_flow
+        # ``compute_mask`` is a *static* flag: in test mode only the
+        # final iteration's upsample mask is consumed (the reference
+        # computes and discards 11 of 12, GMA/core/update.py:135-138),
+        # so the scanned steps skip the two mask convs entirely. The
+        # params are still created at init (``is_initializing``) so the
+        # variable tree is identical in both settings.
+        if compute_mask or self.is_initializing():
+            mask = _conv(256, (3, 3), self.dtype)(net)
+            mask = 0.25 * _conv(64 * 9, (1, 1), self.dtype)(
+                jax.nn.relu(mask)
+            )
+        if not compute_mask:
+            mask = jnp.zeros(net.shape[:-1] + (64 * 9,), self.dtype)
+        return net, mask, delta_flow

@@ -217,7 +217,7 @@ def convert_gma(sd: dict) -> dict:
     _set(tree, "params/AttentionQK_0/Conv_0/kernel",
          _conv(sd["att.to_qk.weight"]))
 
-    up = "Scan_UpdateStep_0/GMAUpdateBlock_0"
+    up = "update/GMAUpdateBlock_0"
     # motion encoder (GMA/core/update.py:66-84)
     convc1 = _conv(sd["update_block.encoder.convc1.weight"])
     perm = _corr_window_perm()
