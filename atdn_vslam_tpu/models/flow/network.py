@@ -119,6 +119,7 @@ class RAFTGMA(nn.Module):
         test_mode: bool = True,
         flow_init: jax.Array | None = None,
         fmap1: jax.Array | None = None,
+        fmap2: jax.Array | None = None,
         return_features: bool = False,
         encode_only: bool = False,
     ):
@@ -132,6 +133,9 @@ class RAFTGMA(nn.Module):
             image1 of the next — caching halves the feature-encoder
             cost, the largest fixed cost of the pipeline. The reference
             re-encodes both frames every pair (GMA/core/network.py:86).
+        :param fmap2: optional precomputed feature map for ``image2``
+            (chunked streaming encodes a whole chunk of frames in one
+            batched fnet pass and pairs the maps up shifted by one).
         :param return_features: also return ``fmap2`` for reuse as the
             next pair's ``fmap1`` (test mode only).
         :param encode_only: run just the feature encoder on ``image1``
@@ -156,7 +160,7 @@ class RAFTGMA(nn.Module):
             # feature encoder over both frames in one batched pass
             fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
             fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
-        else:
+        elif fmap2 is None:
             fmap2 = fnet(image2, train)
         pyramid = tuple(
             build_corr_pyramid(
