@@ -18,20 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from atdn_vslam_tpu.models.flow import RAFTGMA
+from atdn_vslam_tpu.ops.padding import InputPadder
 from atdn_vslam_tpu.utils.helpers import log
 
 
-def _pad8(im: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
-    h, w = im.shape[:2]
-    ph = (8 - h % 8) % 8
-    pw = (8 - w % 8) % 8
-    if ph or pw:
-        im = np.pad(im, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    return im, (h, w)
+def evaluate_dataset(model, variables, dataset, limit=None,
+                     pad_mode: str = "sintel"):
+    """-> dict of EPE stats (ref: GMA/evaluate.py validate_* structure).
 
-
-def evaluate_dataset(model, variables, dataset, limit=None):
-    """-> dict of EPE stats (ref: GMA/evaluate.py validate_* structure)."""
+    :param pad_mode: InputPadder mode — 'kitti' pads the height at the
+        bottom only, 'sintel' centers (ref: GMA/core/utils/utils.py:8-17;
+        the wheel's validate_kitti/validate_sintel pass these modes)."""
     fwd = jax.jit(
         lambda v, a, b: model.apply(v, a, b, test_mode=True)[1]
     )
@@ -39,11 +36,11 @@ def evaluate_dataset(model, variables, dataset, limit=None):
     n = len(dataset) if limit is None else min(limit, len(dataset))
     for i in range(n):
         im1, im2, flow_gt, valid = dataset[i]
-        p1, hw = _pad8(im1)
-        p2, _ = _pad8(im2)
-        up = np.asarray(
+        padder = InputPadder(im1.shape, mode=pad_mode)
+        p1, p2 = padder.pad(im1, im2)
+        up = np.asarray(padder.unpad(
             fwd(variables, jnp.asarray(p1)[None], jnp.asarray(p2)[None])
-        )[0, : hw[0], : hw[1]]
+        ))[0]
         err = np.linalg.norm(up - flow_gt, axis=-1)
         mask = valid >= 0.5
         if mask.sum() == 0:
@@ -100,12 +97,15 @@ def main(argv=None) -> int:
             variables = msgpack_restore(f.read())
     else:
         im1, _, _, _ = dataset[0]
-        pad, _ = _pad8(im1)
+        pad = InputPadder(im1.shape).pad(im1)[0]
         z = jnp.zeros((1, *pad.shape))
         variables = jax.jit(model.init)(jax.random.key(0), z, z)
         log("WARNING: random-init flow net")
 
-    stats = evaluate_dataset(model, variables, dataset, args.limit)
+    stats = evaluate_dataset(
+        model, variables, dataset, args.limit,
+        pad_mode="kitti" if args.dataset == "kitti" else "sintel",
+    )
     log(f"EPE {stats['epe']:.3f}  F1-all {stats['f1_all']:.2f}% "
         f"({stats['frames']} frames)")
     return 0

@@ -24,7 +24,7 @@ from atdn_vslam_tpu.data import FlowWindowDataset
 from atdn_vslam_tpu.data.kitti import load_poses
 from atdn_vslam_tpu.eval import ape_statistics, save_kitti_trajectory
 from atdn_vslam_tpu.eval.visualizer import plot_trajectories_xz
-from atdn_vslam_tpu.geometry import accumulate_poses
+from atdn_vslam_tpu.geometry import accumulate_poses_host
 from atdn_vslam_tpu.models.odometry import ATDNVO
 from atdn_vslam_tpu.training.odometry import init_state, load_checkpoint
 from atdn_vslam_tpu.config import Config
@@ -77,11 +77,10 @@ def evaluate_direction(
         augment=1.0 if forward else -1.0, sequence_length=1,
     )
     rot, tr, seconds = run_inference(model, variables, dataset, forward)
-    traj = np.asarray(
-        accumulate_poses(jnp.asarray(rot, jnp.float64), jnp.asarray(tr, jnp.float64))
-        if jax.config.jax_enable_x64
-        else accumulate_poses(jnp.asarray(rot), jnp.asarray(tr))
-    )
+    # trajectory chaining on host in float64: over ~4.5k steps the f32
+    # device scan drifts; the reference chains in CPU doubles
+    # (ref: evaluate_odometry.py:131)
+    traj = accumulate_poses_host(rot, tr)
     suffix = "f" if forward else "b"
     path = save_kitti_trajectory(
         os.path.join(out_dir, f"{sequence}_{suffix}.txt"), traj

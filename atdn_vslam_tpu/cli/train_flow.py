@@ -29,9 +29,22 @@ from atdn_vslam_tpu.utils.helpers import log
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="RAFTGMA flow training")
-    p.add_argument("--dataset", choices=["kitti", "sintel", "chairs"],
-                   required=True)
-    p.add_argument("--root", required=True)
+    p.add_argument("--dataset",
+                   choices=["kitti", "sintel", "chairs", "things", "hd1k"],
+                   default=None,
+                   help="single dataset (mutually exclusive with --stage)")
+    p.add_argument("--stage",
+                   choices=["chairs", "things", "sintel", "kitti"],
+                   default=None,
+                   help="curriculum stage mixture + aug recipe "
+                        "(ref GMA/core/datasets.py:272-299); dataset "
+                        "roots come from --root/--root-*")
+    p.add_argument("--root", default=None,
+                   help="dataset root (for --dataset, or the --stage's "
+                        "primary dataset)")
+    p.add_argument("--root-things", default=None)
+    p.add_argument("--root-kitti", default=None)
+    p.add_argument("--root-hd1k", default=None)
     p.add_argument("--dstype", default="clean")
     p.add_argument("--steps", type=int, default=50000)
     p.add_argument("--batch-size", type=int, default=6)
@@ -49,20 +62,49 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from atdn_vslam_tpu.data.flow_datasets import (
+        STAGE_RECIPES,
         FlowAugmentor,
         FlyingChairsDataset,
+        FlyingThingsDataset,
+        HD1KDataset,
         KittiFlowDataset,
         SintelDataset,
+        SparseFlowAugmentor,
+        fetch_train_dataset,
     )
 
-    if args.dataset == "kitti":
-        dataset = KittiFlowDataset(args.root)
-    elif args.dataset == "sintel":
-        dataset = SintelDataset(args.root, dstype=args.dstype)
+    if (args.dataset is None) == (args.stage is None):
+        p.error("exactly one of --dataset / --stage is required")
+    crop = tuple(args.crop)
+    if args.stage is not None:
+        roots = {args.stage: args.root} if args.root else {}
+        if args.root_things:
+            roots["things"] = args.root_things
+        if args.root_kitti:
+            roots["kitti"] = args.root_kitti
+        if args.root_hd1k:
+            roots["hd1k"] = args.root_hd1k
+        # per-part augmentors are attached inside the mixture
+        dataset = fetch_train_dataset(
+            args.stage, roots, crop_size=crop, seed=args.seed
+        )
+        label = f"stage {args.stage}"
     else:
-        dataset = FlyingChairsDataset(args.root)
-    log(f"{args.dataset}: {len(dataset)} pairs")
-    aug = FlowAugmentor(tuple(args.crop), seed=args.seed)
+        if args.dataset == "kitti":
+            dataset = KittiFlowDataset(args.root)
+        elif args.dataset == "sintel":
+            dataset = SintelDataset(args.root, dstype=args.dstype)
+        elif args.dataset == "things":
+            dataset = FlyingThingsDataset(args.root)
+        elif args.dataset == "hd1k":
+            dataset = HD1KDataset(args.root)
+        else:
+            dataset = FlyingChairsDataset(args.root)
+        recipe = STAGE_RECIPES.get(args.dataset, STAGE_RECIPES["sintel"])
+        aug_cls = SparseFlowAugmentor if dataset.sparse else FlowAugmentor
+        dataset.augmentor = aug_cls(crop, seed=args.seed, **recipe)
+        label = args.dataset
+    log(f"{label}: {len(dataset)} pairs")
 
     from atdn_vslam_tpu.utils.platform import is_tpu
     on_tpu = is_tpu()
@@ -95,7 +137,7 @@ def main(argv=None) -> int:
         idx = rng.integers(0, len(dataset), args.batch_size)
         ims1, ims2, flows, valids = [], [], [], []
         for j in idx:
-            im1, im2, flow, valid = aug(*dataset[int(j)])
+            im1, im2, flow, valid = dataset[int(j)]
             ims1.append(im1); ims2.append(im2)
             flows.append(flow); valids.append(valid)
         batch = (

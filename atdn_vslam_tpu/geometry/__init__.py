@@ -20,6 +20,7 @@ from atdn_vslam_tpu.geometry.se3 import (
     relative_pose,
     absolute_to_relative,
     accumulate_poses,
+    accumulate_poses_host,
     matrix_to_pose,
 )
 
@@ -33,5 +34,6 @@ __all__ = [
     "relative_pose",
     "absolute_to_relative",
     "accumulate_poses",
+    "accumulate_poses_host",
     "matrix_to_pose",
 ]

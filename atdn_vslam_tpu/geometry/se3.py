@@ -205,3 +205,62 @@ def accumulate_poses(
         eye = base[None]
         chained = base[None] @ chained
     return jnp.concatenate([eye, chained], axis=0)
+
+
+def accumulate_poses_host(
+    rotations,
+    translations,
+    convention: str = "yxz",
+    base=None,
+):
+    """Host-side float64 trajectory chaining for evaluation.
+
+    The device ``accumulate_poses`` runs in the default f32 unless x64
+    is enabled; over a ~4.5k-step KITTI sequence f32 rounding drifts the
+    trajectory. The reference chains on CPU in double precision
+    (ref: evaluate_odometry.py:131 with torch CPU tensors), so the eval
+    path uses this numpy float64 chain; the device version stays for
+    training-time losses.
+
+    :param rotations: (N, 3) relative euler rotations.
+    :param translations: (N, 3) relative translations.
+    :return: (N+1, 4, 4) float64 absolute poses (leading identity/base).
+    """
+    import numpy as np
+
+    eul = np.asarray(rotations, np.float64)
+    tr = np.asarray(translations, np.float64)
+    if convention not in _CONVENTIONS:
+        raise ValueError(f"Unsupported euler convention: {convention!r}")
+    c1, c2, c3 = (np.cos(eul[..., i]) for i in range(3))
+    s1, s2, s3 = (np.sin(eul[..., i]) for i in range(3))
+    # same intrinsic compositions as euler_to_matrix above, in f64
+    if convention == "yxz":
+        rows = [
+            [c1 * c3 + s1 * s2 * s3, c3 * s1 * s2 - c1 * s3, c2 * s1],
+            [c2 * s3, c2 * c3, -s2],
+            [c1 * s2 * s3 - c3 * s1, c1 * c3 * s2 + s1 * s3, c1 * c2],
+        ]
+    elif convention == "xyx":
+        rows = [
+            [c2, s2 * s3, c3 * s2],
+            [s1 * s2, c1 * c3 - c2 * s1 * s3, -c1 * s3 - c2 * c3 * s1],
+            [-c1 * s2, c3 * s1 + c1 * c2 * s3, c1 * c2 * c3 - s1 * s3],
+        ]
+    else:  # yxy
+        rows = [
+            [c1 * c3 - c2 * s1 * s3, s2 * s1, c2 * s1 * c3 + c1 * s3],
+            [s2 * s3, c2, -s2 * c3],
+            [-c3 * s1 - c2 * c1 * s3, s2 * c1, c2 * c1 * c3 - s1 * s3],
+        ]
+    n = len(eul)
+    steps = np.tile(np.eye(4), (n, 1, 1))
+    steps[:, :3, :3] = np.stack(
+        [np.stack(r, axis=-1) for r in rows], axis=-2
+    )
+    steps[:, :3, 3] = tr
+    out = np.empty((n + 1, 4, 4))
+    out[0] = np.eye(4) if base is None else np.asarray(base, np.float64)
+    for i in range(n):
+        out[i + 1] = out[i] @ steps[i]
+    return out

@@ -97,6 +97,21 @@ class AttentionQK(nn.Module):
         q = q * (self.dim_head**-0.5)
         bias = None
         if self.position_only or self.position_and_content:
+            from atdn_vslam_tpu.ops.attention import _MATERIALIZE_MAX_TOKENS
+
+            if h * w > _MATERIALIZE_MAX_TOKENS:
+                # RelPosEmb materializes a (B*heads, N, N) bias — at
+                # KITTI resolution (7238 tokens) that is 210 MB, the
+                # exact allocation the flash path exists to avoid. The
+                # positional modes are off in the reference config
+                # (utils/gma_parameters.py:9-10); guard until a
+                # decomposed flash-bias kernel exists.
+                raise ValueError(
+                    f"positional attention at {h * w} tokens would "
+                    f"materialize a dense (N, N) bias (limit "
+                    f"{_MATERIALIZE_MAX_TOKENS}); use content-only "
+                    "attention at this resolution"
+                )
             bias = RelPosEmb(self.max_pos_size, self.dim_head)(q, h, w)
         return q, k, bias
 

@@ -66,6 +66,12 @@ class _UpdateStep(nn.Module):
     def __call__(self, carry, inp, q, k, bias, probs, pyramid,
                  last: bool = False):
         net, coords1 = carry
+        if self.upsample_in_scan:
+            # training recipe parity: the reference detaches coords1 at
+            # the top of every iteration (GMA/core/network.py:108), so
+            # each prediction's flow gradient reaches only its own
+            # delta_flow (the hidden state still carries gradient).
+            coords1 = jax.lax.stop_gradient(coords1)
         b, h, w, _ = coords1.shape
         coords0 = coords_grid(h, w)[None]
         corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
@@ -157,6 +163,11 @@ class RAFTGMA(nn.Module):
         image2 = 2.0 * (image2 / 255.0) - 1.0
 
         if fmap1 is None:
+            if fmap2 is not None:
+                raise ValueError(
+                    "fmap2 without fmap1 is not supported — pass both "
+                    "(chunked precompute) or only fmap1 (streaming)"
+                )
             # feature encoder over both frames in one batched pass
             fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
             fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)

@@ -22,6 +22,7 @@ Modes: idle -> odometry -> mapping -> relocalization
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -30,6 +31,7 @@ import numpy as np
 
 from atdn_vslam_tpu.config import Config
 from atdn_vslam_tpu.geometry.se3 import matrix_to_euler, pose_to_matrix
+from atdn_vslam_tpu.ops.padding import InputPadder
 from atdn_vslam_tpu.slam.keyframes import KeyframeStore
 from atdn_vslam_tpu.training.mapping import train_mapping
 from atdn_vslam_tpu.utils.helpers import log
@@ -77,6 +79,12 @@ class SlamRuntime:
         self.keyframes = KeyframeStore(
             config.keyframes_path, config.slam.max_keyframes
         )
+        # on-disk map persistence (ref saves MappingVAE_weights.pth
+        # every epoch and warm starts reload it,
+        # neural_slam.py:347-348,89-106)
+        self._map_vars_path = os.path.join(
+            config.keyframes_path, "mapping_variables.msgpack"
+        )
 
         # jitted hot paths
         self._odometry_step = jax.jit(self._odometry_step_fn)
@@ -96,9 +104,15 @@ class SlamRuntime:
             self.end_odometry()
         elif start_mode == "relocalization":
             if mapping_variables is None:
-                raise ValueError(
-                    "relocalization warm start needs mapping_variables"
-                )
+                # fresh-process warm start: reload the trained map from
+                # disk (ref: neural_slam.py:89-106)
+                if not os.path.exists(self._map_vars_path):
+                    raise ValueError(
+                        "relocalization warm start needs "
+                        "mapping_variables or a saved map at "
+                        f"{self._map_vars_path}"
+                    )
+                self._map_vars = self._load_map_vars()
             self.keyframes.load(with_embeddings=True)
             self._mode = "relocalization"
         else:
@@ -166,6 +180,10 @@ class SlamRuntime:
         im = jnp.asarray(image, jnp.float32)
         if im.shape[:2] != self._hw:
             im = jax.image.resize(im, (*self._hw, 3), "bilinear")
+        if im.shape[0] % 8 or im.shape[1] % 8:
+            # replicate-pad to /8 (ref: InputPadder at neural_slam.py:199,
+            # GMA/core/utils/utils.py:8-21; kitti mode pads bottom/right)
+            im = InputPadder(im.shape, mode="kitti").pad(im)[0]
         return im
 
     def __call__(self, image: np.ndarray):
@@ -329,11 +347,32 @@ class SlamRuntime:
             self.config.mapping_train,
             images,
             log_fn=lambda e, l: None,
+            # crash robustness: persist the map every epoch, like the
+            # reference's per-epoch weight save (neural_slam.py:347-348)
+            save_fn=lambda s: self._save_map_vars(
+                {"params": s.params, "batch_stats": s.batch_stats}
+            ),
         )
         self._map_vars = {
             "params": state.params,
             "batch_stats": state.batch_stats,
         }
+        self._save_map_vars(self._map_vars)
+
+    def _save_map_vars(self, variables) -> None:
+        from flax.serialization import to_bytes
+
+        os.makedirs(self.config.keyframes_path, exist_ok=True)
+        tmp = self._map_vars_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(to_bytes(jax.tree.map(np.asarray, variables)))
+        os.replace(tmp, self._map_vars_path)
+
+    def _load_map_vars(self):
+        from flax.serialization import msgpack_restore
+
+        with open(self._map_vars_path, "rb") as f:
+            return msgpack_restore(f.read())
 
     def _embed_keyframes(self, batch: int = 8) -> None:
         codes = []

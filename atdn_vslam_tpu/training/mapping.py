@@ -148,9 +148,14 @@ def train_mapping(
     cfg: MappingTrainConfig,
     images: np.ndarray,
     log_fn=None,
+    save_fn=None,
 ) -> MappingTrainState:
     """Full map-building run over a keyframe image array
-    (N, H, W, 3) uint8 (ref: neural_slam.py:305-352)."""
+    (N, H, W, 3) uint8 (ref: neural_slam.py:305-352).
+
+    :param save_fn: optional per-epoch checkpoint callback receiving the
+        current state (ref saves the VAE weights every epoch,
+        neural_slam.py:347-348)."""
     n = len(images)
     batch = min(cfg.batch_size, n)
     steps_per_epoch = max(n // batch, 1)
@@ -172,4 +177,6 @@ def train_mapping(
             epoch_loss += float(loss)
         if log_fn is not None:
             log_fn(epoch, epoch_loss / steps_per_epoch)
+        if save_fn is not None:
+            save_fn(state)
     return state

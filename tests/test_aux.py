@@ -101,7 +101,8 @@ def test_flow_augmentor(rng):
     from atdn_vslam_tpu.data.flow_datasets import FlowAugmentor
 
     aug = FlowAugmentor((8, 12), h_flip_prob=1.0, v_flip_prob=0.0,
-                        photometric=False, seed=0)
+                        photometric=False, spatial_aug_prob=0.0,
+                        eraser_aug_prob=0.0, seed=0)
     im1 = rng.uniform(0, 255, (16, 20, 3)).astype(np.float32)
     flow = np.ones((16, 20, 2), np.float32)
     valid = np.ones((16, 20), np.float32)

@@ -179,6 +179,84 @@ def test_gma_training_mode_parity(gma_wheel):
         )
 
 
+def test_gma_training_gradient_parity(gma_wheel):
+    """Gradients of the prediction sum w.r.t. flow-head weights match
+    torch — this pins the per-iteration coords1 detach semantics
+    (ref: network.py:108 ``coords1 = coords1.detach()``)."""
+    from atdn_vslam_tpu.models.flow.network import RAFTGMA
+
+    tm = _torch_model(gma_wheel, 128, 192)
+    variables = _convert(tm)
+    rng = np.random.default_rng(3)
+    im1, im2 = _frame_pair(rng, 128, 192)
+
+    tm.zero_grad()
+    preds_t = tm(
+        torch.from_numpy(im1), torch.from_numpy(im2),
+        iters=3, test_mode=False,
+    )
+    sum(p.sum() for p in preds_t).backward()
+    g_flow_t = tm.update_block.flow_head.conv1.weight.grad.numpy()
+    g_fnet_t = tm.fnet.conv1.weight.grad.numpy()
+
+    model = RAFTGMA(iters=3)
+
+    def loss_fn(params):
+        vars_ = dict(variables, params=params)
+        preds = model.apply(vars_, _nhwc(im1), _nhwc(im2), test_mode=False)
+        return jnp.sum(preds)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g_flow_j = np.transpose(
+        np.asarray(
+            grads["update"]["GMAUpdateBlock_0"]["FlowHead_0"]["Conv_0"][
+                "kernel"
+            ]
+        ),
+        (3, 2, 0, 1),
+    )
+    g_fnet_j = np.transpose(
+        np.asarray(grads["BasicEncoder_0"]["Conv_0"]["kernel"]),
+        (3, 2, 0, 1),
+    )
+    np.testing.assert_allclose(
+        g_flow_j, g_flow_t, atol=2e-2 * np.abs(g_flow_t).max()
+    )
+    np.testing.assert_allclose(
+        g_fnet_j, g_fnet_t, atol=2e-2 * np.abs(g_fnet_t).max()
+    )
+
+
+@pytest.mark.parametrize("mode", ["sintel", "kitti"])
+@pytest.mark.parametrize("hw", [(370, 1226), (436, 1024), (375, 1242)])
+def test_input_padder_matches_torch(gma_wheel, mode, hw):
+    """InputPadder pad placement + replicate semantics + unpad match
+    the reference (ref: GMA/core/utils/utils.py:8-30)."""
+    _, _, tutils = gma_wheel
+    from atdn_vslam_tpu.ops.padding import InputPadder
+
+    h, w = hw
+    rng = np.random.default_rng(4)
+    im = rng.uniform(0, 255, (1, 3, h, w)).astype(np.float32)
+
+    tp = tutils.InputPadder(im.shape, mode=mode)
+    (padded_t,) = tp.pad(torch.from_numpy(im))
+
+    jp = InputPadder((h, w, 3), mode=mode)
+    (padded_j,) = jp.pad(np.transpose(im, (0, 2, 3, 1)))
+
+    np.testing.assert_array_equal(
+        np.transpose(padded_j, (0, 3, 1, 2)), padded_t.numpy()
+    )
+    assert padded_j.shape[1] % 8 == 0 and padded_j.shape[2] % 8 == 0
+    # unpad round-trips
+    np.testing.assert_array_equal(
+        jp.unpad(padded_j), np.transpose(im, (0, 2, 3, 1))
+    )
+    un_t = tp.unpad(padded_t[0])
+    np.testing.assert_array_equal(un_t.numpy(), im[0])
+
+
 def test_corr_lookup_matches_torch_grid_sample(gma_wheel):
     """The gather-free matmul lookup reproduces the reference
     grid_sample lookup (ref: GMA/core/corr.py:32-53) including its

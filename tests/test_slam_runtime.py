@@ -134,6 +134,44 @@ def test_warm_start_relocalization(tmp_path, model_vars):
     assert distances.shape == (4,)
 
 
+def test_relocalization_warm_start_from_disk(tmp_path, model_vars):
+    """Mapping persists the trained map; a FRESH runtime (no
+    mapping_variables passed — simulating a process restart) reloads it
+    from disk (ref: neural_slam.py:347-348,89-106)."""
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam.start_odometry()
+    for f in frames(4):
+        slam(f)
+    slam.end_odometry()
+    query = frames(4)[1]
+    initial_ref, refined_ref, d_ref = slam(query)
+    del slam  # "kill" the process
+
+    slam2 = SlamRuntime(
+        cfg, flow_vars, odo_vars, start_mode="relocalization"
+    )
+    assert slam2.mode() == "relocalization"
+    initial, refined, distances = slam2(query)
+    np.testing.assert_allclose(initial, initial_ref)
+    np.testing.assert_allclose(refined, refined_ref, atol=1e-5)
+    np.testing.assert_allclose(distances, d_ref, rtol=1e-5)
+
+
+def test_relocalization_warm_start_missing_map_raises(tmp_path, model_vars):
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    # a store exists but no trained map was ever saved
+    store = KeyframeStore(cfg.keyframes_path)
+    store.initialize_cold()
+    store.append(np.zeros((4, 4, 3), np.uint8), np.eye(4))
+    store.set_embeddings(np.zeros((1, 8)))
+    store.save()
+    with pytest.raises(ValueError, match="mapping_variables"):
+        SlamRuntime(cfg, flow_vars, odo_vars, start_mode="relocalization")
+
+
 def test_keyframe_thresholds_respected(tmp_path, model_vars):
     """With huge thresholds only the very first frame registers
     (ref: neural_slam.py:288-302)."""

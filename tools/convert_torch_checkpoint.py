@@ -27,6 +27,12 @@ handling:
     the motion encoder's first 1x1 conv gets its input channels
     transposed within each level's 81-channel block.
 
+BREAKING TREE CHANGE: GMA trees converted before the test-mode loop
+restructure used the param prefix ``Scan_UpdateStep_0``; the current
+model tree names the step module ``update``. Re-run this tool on the
+source ``.pth`` to regenerate old msgpack files (or remap the
+``Scan_UpdateStep_0`` prefix to ``update`` at load time).
+
 Usage:
   python tools/convert_torch_checkpoint.py --kind gma \
       --input gma-kitti.pth --output gma_kitti.msgpack
