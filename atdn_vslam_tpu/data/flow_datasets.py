@@ -47,6 +47,10 @@ class FlowPairDataset:
         #: reference attaches aug_params per dataset so mixtures combine
         #: different recipes (ref: datasets.py:18-30,286-291)
         self.augmentor = None
+        #: per-pair metadata for submission writers
+        #: (ref: datasets.py:34,131 extra_info — sintel (scene, frame),
+        #: kitti frame id)
+        self.extra_info: list = []
 
     def __len__(self) -> int:
         return len(self.image_pairs)
@@ -150,6 +154,7 @@ class SintelDataset(FlowPairDataset):
             )
             for i in range(len(frames) - 1):
                 self.image_pairs.append((frames[i], frames[i + 1]))
+                self.extra_info.append((scene, i))
                 flow = os.path.join(
                     flow_root, scene,
                     os.path.basename(frames[i]).replace(".png", ".flo"),
@@ -170,6 +175,7 @@ class KittiFlowDataset(FlowPairDataset):
         for p1 in im1s:
             p2 = p1.replace("_10.png", "_11.png")
             self.image_pairs.append((p1, p2))
+            self.extra_info.append(os.path.basename(p1))
             flow = os.path.join(
                 base, "flow_occ", os.path.basename(p1)
             )

@@ -156,3 +156,34 @@ def flow_to_rgb(flow: np.ndarray, clip: float | None = None) -> np.ndarray:
         col = 1 - rad * (1 - col)
         img[..., c] = np.floor(255 * col)
     return img
+
+
+def forward_interpolate(flow: np.ndarray) -> np.ndarray:
+    """Warm-start flow propagation: scatter each pixel's flow to where
+    it lands in the next frame, filling holes by nearest-neighbor
+    (ref: GMA/core/utils/utils.py:33-57; used by the Sintel submission
+    warm start, GMA/evaluate.py:39-40).
+
+    :param flow: (H, W, 2) low-res flow of the previous pair.
+    :return: (H, W, 2) initialization for the next pair.
+    """
+    from scipy import interpolate
+
+    dx, dy = flow[..., 0], flow[..., 1]
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf, dyf = dx.reshape(-1), dy.reshape(-1)
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    if valid.sum() == 0:
+        return np.zeros_like(flow)
+    flow_x = interpolate.griddata(
+        (x1[valid], y1[valid]), dxf[valid], (x0, y0),
+        method="nearest", fill_value=0,
+    )
+    flow_y = interpolate.griddata(
+        (x1[valid], y1[valid]), dyf[valid], (x0, y0),
+        method="nearest", fill_value=0,
+    )
+    return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)

@@ -229,3 +229,125 @@ def test_fetch_sintel_stage_mixture(tmp_path, rng):
         im1, im2, flow, valid = ds[idx]
         assert im1.shape == (32, 40, 3)
         assert flow.shape == (32, 40, 2)
+
+
+def _sintel_tree(tmp_path, rng, split="training", with_flow=True,
+                 scenes=("alley_1",), frames=3):
+    from atdn_vslam_tpu.data.flow_io import write_flo
+
+    root = tmp_path / "sintel"
+    for dstype in ("clean", "final"):
+        for sc in scenes:
+            d = root / split / dstype / sc
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(frames):
+                _png(d / f"frame_{i:04d}.png", rng)
+    if with_flow:
+        for sc in scenes:
+            d = root / split / "flow" / sc
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(frames - 1):
+                write_flo(
+                    str(d / f"frame_{i:04d}.flo"),
+                    rng.normal(size=(H, W, 2)).astype(np.float32),
+                )
+    return root
+
+
+def _kitti_tree(tmp_path, rng, split="training", n=2):
+    base = tmp_path / "kitti" / split
+    (base / "image_2").mkdir(parents=True, exist_ok=True)
+    if split == "training":
+        (base / "flow_occ").mkdir(exist_ok=True)
+    for i in range(n):
+        _png(base / "image_2" / f"{i:06d}_10.png", rng)
+        _png(base / "image_2" / f"{i:06d}_11.png", rng)
+        if split == "training":
+            write_kitti_png_flow(
+                str(base / "flow_occ" / f"{i:06d}_10.png"),
+                rng.normal(size=(H, W, 2)).astype(np.float32),
+            )
+    return tmp_path / "kitti"
+
+
+@pytest.fixture(scope="module")
+def tiny_flow_model():
+    import jax
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.models.flow import RAFTGMA
+
+    model = RAFTGMA(iters=2, use_pallas=False)
+    z = jnp.zeros((1, H, W, 3))
+    variables = jax.jit(model.init)(jax.random.key(0), z, z)
+    return model, variables
+
+
+def test_validate_sintel_and_kitti(tmp_path, rng, tiny_flow_model):
+    """Validation protocols report finite pooled metrics
+    (ref: GMA/evaluate.py:211-243,348-378)."""
+    from atdn_vslam_tpu.cli.evaluate_flow import (
+        validate_kitti,
+        validate_sintel,
+    )
+
+    model, variables = tiny_flow_model
+    sintel = _sintel_tree(tmp_path, rng)
+    res = validate_sintel(model, variables, str(sintel), limit=2)
+    assert set(res) == {"clean", "final"}
+    assert all(np.isfinite(v) for v in res.values())
+
+    kitti = _kitti_tree(tmp_path, rng)
+    res = validate_kitti(model, variables, str(kitti), limit=2)
+    assert np.isfinite(res["kitti_epe"]) and np.isfinite(res["kitti_f1"])
+
+
+def test_sintel_submission_writer(tmp_path, rng, tiny_flow_model):
+    """Sintel submission: .flo per test frame, warm-started
+    (ref: GMA/evaluate.py:21-49)."""
+    from atdn_vslam_tpu.cli.evaluate_flow import create_sintel_submission
+    from atdn_vslam_tpu.data.flow_io import read_flo
+
+    model, variables = tiny_flow_model
+    root = _sintel_tree(tmp_path, rng, split="test", with_flow=False)
+    out = create_sintel_submission(
+        model, variables, str(root), str(tmp_path / "sub"),
+        warm_start=True,
+    )
+    flo = read_flo(
+        str(tmp_path / "sub" / "clean" / "alley_1" / "frame0001.flo")
+    )
+    assert flo.shape == (H, W, 2)
+    assert np.isfinite(flo).all()
+    assert (tmp_path / "sub" / "final" / "alley_1" / "frame0002.flo").exists()
+    assert out == str(tmp_path / "sub")
+
+
+def test_kitti_submission_writer(tmp_path, rng, tiny_flow_model):
+    """KITTI submission: 16-bit flow pngs for the testing split
+    (ref: GMA/evaluate.py:100-118)."""
+    from atdn_vslam_tpu.cli.evaluate_flow import create_kitti_submission
+    from atdn_vslam_tpu.data.flow_io import read_kitti_png_flow
+
+    model, variables = tiny_flow_model
+    root = _kitti_tree(tmp_path, rng, split="testing")
+    create_kitti_submission(
+        model, variables, str(root), str(tmp_path / "ksub")
+    )
+    flow, valid = read_kitti_png_flow(str(tmp_path / "ksub" / "000000_10.png"))
+    assert flow.shape == (H, W, 2) and np.isfinite(flow).all()
+
+
+def test_forward_interpolate_identity():
+    """Zero flow forward-interpolates to (nearly) zero; constant flow
+    inside bounds is preserved at interior pixels."""
+    from atdn_vslam_tpu.data.flow_io import forward_interpolate
+
+    z = np.zeros((12, 16, 2), np.float32)
+    out = forward_interpolate(z)
+    # zero flow scatters each pixel onto itself -> zero everywhere the
+    # scatter is valid; boundary pixels fall back to nearest (also 0)
+    np.testing.assert_allclose(out, 0.0)
+
+    const = np.full((12, 16, 2), 2.0, np.float32)
+    out = forward_interpolate(const)
+    np.testing.assert_allclose(out[4:8, 4:12], 2.0)
