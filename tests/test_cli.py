@@ -166,3 +166,35 @@ def test_slam_demo_cli(kitti_root, tmp_path):
     assert (out / "00_slam_xz.png").exists()
     traj = np.loadtxt(out / "00_slam.txt")
     assert traj.shape == (5, 12)
+
+
+def test_train_flow_cli_stage_kitti(tmp_path, monkeypatch):
+    """train_flow --stage kitti: sparse augmentor + recipe wiring,
+    2 steps on a synthetic KITTI-2015 tree, checkpoint written."""
+    cv2 = pytest.importorskip("cv2")
+    from atdn_vslam_tpu.data.flow_io import write_kitti_png_flow
+    from atdn_vslam_tpu.cli.train_flow import main
+
+    rng = np.random.default_rng(5)
+    base = tmp_path / "k" / "training"
+    (base / "image_2").mkdir(parents=True)
+    (base / "flow_occ").mkdir()
+    for i in range(2):
+        for t in (10, 11):
+            cv2.imwrite(
+                str(base / "image_2" / f"{i:06d}_{t}.png"),
+                rng.integers(0, 255, (80, 112, 3)).astype(np.uint8),
+            )
+        write_kitti_png_flow(
+            str(base / "flow_occ" / f"{i:06d}_10.png"),
+            rng.normal(scale=3, size=(80, 112, 2)).astype(np.float32),
+        )
+    out = tmp_path / "flow.msgpack"
+    rc = main([
+        "--stage", "kitti", "--root", str(tmp_path / "k"),
+        "--steps", "2", "--batch-size", "2", "--crop", "64", "96",
+        "--iters", "2", "--no-mesh", "--output", str(out),
+        "--log-every", "1",
+    ])
+    assert rc == 0
+    assert out.exists()
