@@ -142,8 +142,12 @@ class Aggregate(nn.Module):
         v = rearrange(v, "b x y (h d) -> (b h) (x y) d", h=self.heads)
         if probs is not None:
             # probabilities materialized once outside the update scan
-            # (iteration-invariant; ops/attention.py rationale)
+            # (iteration-invariant; ops/attention.py rationale); may be
+            # spatially pre-shaped (BH, x, y, m) for loop layout
+            # stability
             out = apply_attention_probs(probs, v)
+            if out.ndim == 4:
+                out = out.reshape(out.shape[0], -1, out.shape[-1])
         else:
             # q is pre-scaled by AttentionQK -> scale=1 here
             out = attend(

@@ -34,7 +34,7 @@ from atdn_vslam_tpu.models.flow.extractor import BasicEncoder
 from atdn_vslam_tpu.models.flow.gma import AttentionQK
 from atdn_vslam_tpu.ops.attention import (
     _MATERIALIZE_MAX_TOKENS,
-    attention_probs,
+    attention_probs_spatial,
 )
 from atdn_vslam_tpu.models.flow.update import GMAUpdateBlock
 from atdn_vslam_tpu.ops.bilinear import coords_grid
@@ -202,8 +202,11 @@ class RAFTGMA(nn.Module):
         if self.use_pallas is not True and (
             n_tokens <= _MATERIALIZE_MAX_TOKENS
         ):
-            probs = attention_probs(
-                q, k, scale=1.0, bias=bias,
+            # materialized directly in the scan-loop layout (BH, H, W,
+            # N): a (N, N) probs matrix handed to the scan re-tiles
+            # ~105 MB every iteration (see ops/attention.py)
+            probs = attention_probs_spatial(
+                q, k, inp.shape[1], inp.shape[2], scale=1.0, bias=bias,
                 position_only=self.position_only,
             )
             q = k = bias = None

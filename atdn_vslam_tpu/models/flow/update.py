@@ -32,7 +32,14 @@ class FlowHead(nn.Module):
 
 
 class SepConvGRU(nn.Module):
-    """Separable (1x5 then 5x1) ConvGRU (ref: update.py:36-63)."""
+    """Separable (1x5 then 5x1) ConvGRU (ref: update.py:36-63).
+
+    The z and r gates read the same ``[h, x]`` input, so their convs
+    are fused into ONE conv with 2*hidden output channels (exact —
+    block-concatenated kernels; the converter concatenates the
+    reference's convz/convr weights accordingly). One fewer pass over
+    the 512-channel input per direction and a wider (256 vs 128) MXU
+    output tile."""
 
     hidden_dim: int = 128
     dtype: Any = jnp.float32
@@ -41,8 +48,10 @@ class SepConvGRU(nn.Module):
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
         for kernel in ((1, 5), (5, 1)):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = jax.nn.sigmoid(_conv(self.hidden_dim, kernel, self.dtype)(hx))
-            r = jax.nn.sigmoid(_conv(self.hidden_dim, kernel, self.dtype)(hx))
+            zr = _conv(2 * self.hidden_dim, kernel, self.dtype)(hx)
+            z, r = jnp.split(zr, 2, axis=-1)
+            z = jax.nn.sigmoid(z)
+            r = jax.nn.sigmoid(r)
             q = jnp.tanh(
                 _conv(self.hidden_dim, kernel, self.dtype)(
                     jnp.concatenate([r * h, x], axis=-1)

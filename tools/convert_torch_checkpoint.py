@@ -243,10 +243,18 @@ def convert_gma(sd: dict) -> dict:
          _conv(sd["update_block.aggregator.to_v.weight"]))
     _set(tree, f"params/{up}/Aggregate_0/gamma",
          _np(sd["update_block.aggregator.gamma"]).reshape(1))
-    # SepConvGRU (GMA/core/update.py:36-63)
-    for i, tname in enumerate(
-        ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")
-    ):
+    # SepConvGRU (GMA/core/update.py:36-63). Our GRU fuses the z and r
+    # convs (same input) into one conv with block-concatenated kernels:
+    # Conv_0 = [convz1 | convr1], Conv_1 = convq1,
+    # Conv_2 = [convz2 | convr2], Conv_3 = convq2.
+    for i, (tz, tr) in enumerate((("convz1", "convr1"), ("convz2", "convr2"))):
+        kz, kr = (_conv(sd[f"update_block.gru.{t}.weight"]) for t in (tz, tr))
+        bz, br = (_np(sd[f"update_block.gru.{t}.bias"]) for t in (tz, tr))
+        _set(tree, f"params/{up}/SepConvGRU_0/Conv_{2 * i}/kernel",
+             np.concatenate([kz, kr], axis=-1))
+        _set(tree, f"params/{up}/SepConvGRU_0/Conv_{2 * i}/bias",
+             np.concatenate([bz, br]))
+    for i, tname in ((1, "convq1"), (3, "convq2")):
         _set(tree, f"params/{up}/SepConvGRU_0/Conv_{i}/kernel",
              _conv(sd[f"update_block.gru.{tname}.weight"]))
         _set(tree, f"params/{up}/SepConvGRU_0/Conv_{i}/bias",
