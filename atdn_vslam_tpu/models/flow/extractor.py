@@ -20,6 +20,38 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from atdn_vslam_tpu.ops.stem_conv import conv7x7s2_s2d
+
+
+class StemConv7x7s2(nn.Module):
+    """7x7 stride-2 stem conv, lowered via space-to-depth on even
+    inputs (ops/stem_conv.py — same params/math as ``nn.Conv``, ~4x
+    denser MXU contraction at tiny input-channel counts)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xb = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0:
+            return conv7x7s2_s2d(xb, k, bias.astype(self.dtype))
+        dn = jax.lax.conv_dimension_numbers(
+            xb.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        out = jax.lax.conv_general_dilated(
+            xb, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ).astype(xb.dtype)
+        return out + bias.astype(out.dtype)
+
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Non-affine instance norm over spatial dims (torch
@@ -91,10 +123,7 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            dtype=self.dtype,
-        )(x)
+        x = StemConv7x7s2(64, dtype=self.dtype, name="Conv_0")(x)
         x = jax.nn.relu(_Norm(self.norm, self.dtype)(x, train))
         for features, stride in ((64, 1), (96, 2), (128, 2)):
             x = ResidualBlock(
@@ -103,4 +132,6 @@ class BasicEncoder(nn.Module):
             x = ResidualBlock(features, self.norm, 1, dtype=self.dtype)(
                 x, train
             )
-        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype)(x)
+        return nn.Conv(
+            self.output_dim, (1, 1), dtype=self.dtype, name="Conv_1"
+        )(x)

@@ -66,13 +66,14 @@ def build_corr_pyramid(
     f2l = fmap2
     hl, wl = h2, w2
     for level in range(num_levels):
-        x2 = f2l.reshape(b, hl * wl, c)
+        # emit the dot directly as (b, n, hl, wl): producing (b, n, m)
+        # and reshaping afterwards costs a full re-tiling copy of the
+        # level-0 volume (traced at ~0.5 ms/pair on a v5e chip)
         corr = jnp.einsum(
-            "bnc,bmc->bnm", f1, x2, preferred_element_type=jnp.float32
+            "bnc,bhwc->bnhw", f1, f2l,
+            preferred_element_type=jnp.float32,
         ) * inv_sqrt_c
-        pyramid.append(
-            corr.reshape(b, h1 * w1, hl, wl, 1).astype(dtype)
-        )
+        pyramid.append(corr[..., None].astype(dtype))
         if level < num_levels - 1:
             h2_, w2_ = hl // 2, wl // 2
             f2l = f2l[:, : h2_ * 2, : w2_ * 2]
@@ -181,10 +182,18 @@ def lookup_corr_pyramid_dynslice(
         xc = flat[..., 0] * scale
 
         y0 = jnp.floor(yc - radius)
+        # Clamp bounds vs the (span+1)-row padding below:
+        #   lower: y0i = -(span+1) -> start = 0, the slice reads ONLY
+        #     the zero padding — correct for fully-below-bounds
+        #     windows (every tap is zero, fy scales zeros);
+        #   upper: y0i = hl-1 -> start = hl+span, and the padded
+        #     volume has hl + 2(span+1) rows, so start + (span+1)
+        #     = hl+2span+2 stays in range with one row to spare —
+        #     fully-above-bounds windows likewise read only padding.
+        # In-range windows overlapping an edge get exact zeros for the
+        # out-of-bounds taps, matching grid_sample zero padding.
         y0i = jnp.clip(y0.astype(jnp.int32), -(span + 1), hl - 1)
         fy = (yc - radius) - y0i.astype(jnp.float32)
-        # pad rows so any window position reads zeros out of bounds;
-        # fully-OOB windows land entirely in the padding
         volp = jnp.pad(vol, ((0, 0), (0, 0), (span + 1, span + 1), (0, 0)))
         start = y0i + (span + 1)
 

@@ -1,0 +1,67 @@
+"""Space-to-depth formulation of the stride-2 stem convolution.
+
+The three encoder stems (fnet/cnet 7x7x3->64, ATDNVO 7x7x2->16) run at
+full image resolution with 2-3 input channels — the MXU contraction
+dim is k*k*C = 147/98, and XLA's direct lowering measures ~0.7% of
+peak. Folding the stride into the channels first (space-to-depth by
+the stride) turns the same arithmetic into a stride-1 4x4 conv over
+4C input channels at half resolution — identical output by
+construction (the kernel is re-indexed, zero-filling taps that fall
+outside the 7x7 support), with a 4x denser contraction.
+
+Derivation: for stride 2, kernel size 7, SAME padding 3,
+``out[i,j] = sum_{u,v,c} x[2i+u-3, 2j+v-3, c] W[u,v,c]``. Writing
+``u-3 = 2(ka-2) + p`` with parity ``p`` maps each tap to the
+space-to-depth plane ``x_pq[a,b] = x[2a+p, 2b+q]`` at offset
+``ka-2 in [-2, 1]`` — a 4x4 stride-1 conv with padding (2, 1) whose
+kernel entry ``K[ka, kb, (p,q,c)] = W[2ka+p-1, 2kb+q-1, c]`` (zero
+when the index leaves [0, 6]).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv7x7s2_s2d(
+    x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
+) -> jax.Array:
+    """Exact equivalent of ``lax.conv(x, kernel, stride 2, SAME)`` for a
+    7x7 kernel on even-sized inputs, via space-to-depth.
+
+    :param x: (B, H, W, C) with H, W even.
+    :param kernel: (7, 7, C, O) HWIO.
+    :param bias: optional (O,).
+    :return: (B, H/2, W/2, O).
+    """
+    b, h, w, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    if kh != 7 or kw != 7 or h % 2 or w % 2:
+        raise ValueError("conv7x7s2_s2d requires a 7x7 kernel and even H, W")
+
+    # space-to-depth: (B, H/2, W/2, (p, q, c)) — p-major channel order
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+    # kernel re-index: K[ka, p, kb, q] = W[2ka+p-1, 2kb+q-1] or 0
+    idx = np.array([[2 * ka + p - 1 for p in range(2)] for ka in range(4)])
+    valid = (idx >= 0) & (idx <= 6)
+    kk = kernel[np.clip(idx, 0, 6)]            # (4, 2, 7, C, O)
+    kk = kk[:, :, np.clip(idx, 0, 6)]          # (4, 2, 4, 2, C, O)
+    mask = (valid[:, :, None, None] & valid[None, None]).astype(kernel.dtype)
+    kk = kk * mask[..., None, None]
+    kk = kk.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, cout)
+
+    dn = jax.lax.conv_dimension_numbers(
+        xs.shape, kk.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    out = jax.lax.conv_general_dilated(
+        xs, kk, (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -33,10 +33,14 @@ def convex_upsample(
         ``view(N, 1, 9, 8, 8, H, W)``.
     """
     b, h, w, _ = flow.shape
-    mask = mask.reshape(b, h, w, 9, factor, factor)
+    # keep factor*factor merged as the minor dim: splitting it to
+    # (..., 9, f, f) makes XLA re-tile the mask around the softmax
+    # (traced ~0.4 ms/pair at KITTI resolution with 8x8 minor dims)
+    mask = mask.reshape(b, h, w, 9, factor * factor)
     mask = jax.nn.softmax(mask, axis=3)
     patches = _extract_3x3_patches(flow * factor)  # (B, H, W, 9, 2)
-    up = jnp.einsum("bhwkpq,bhwkc->bhwpqc", mask, patches)
+    up = jnp.einsum("bhwkm,bhwkc->bhwmc", mask, patches)
+    up = up.reshape(b, h, w, factor, factor, 2)
     return rearrange(up, "b h w p q c -> b (h p) (w q) c")
 
 

@@ -245,3 +245,26 @@ def test_pallas_lookup_matches_einsum_interpret(rng):
         lookup_corr_pyramid_pallas(pyr, coords, radius=2, interpret=True)
     )
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_stem_conv_s2d_matches_direct(rng):
+    """Space-to-depth 7x7 stride-2 conv == direct strided conv
+    (ops/stem_conv.py), including odd-tap zero filling."""
+    import jax
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.ops.stem_conv import conv7x7s2_s2d
+
+    for c, o, h, w in ((3, 64, 32, 48), (2, 16, 24, 40)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(7, 7, c, o)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
+        ) + b
+        out = conv7x7s2_s2d(x, k, b)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4
+        )
