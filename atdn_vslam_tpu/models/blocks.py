@@ -61,6 +61,11 @@ class ConvBlock(nn.Module):
         pad = self.padding
         if isinstance(pad, tuple) and isinstance(pad[0], int):
             pad = tuple((p, p) for p in pad)
+        # NOTE (measured): lowering the ATDNVO 7x7 s2 stem via
+        # space-to-depth (like the flow encoders' StemConv7x7s2)
+        # REGRESSED the pipeline 34.0 -> 33.5 fps — at 2 input channels
+        # in f32 the extra input relayout outweighs the denser
+        # contraction. Keep the direct conv here.
         x = nn.Conv(
             self.features,
             self.kernel_size,
@@ -68,6 +73,7 @@ class ConvBlock(nn.Module):
             padding=pad,
             kernel_dilation=self.dilation,
             use_bias=self.use_bias,
+            name="Conv_0",
         )(x)
         x = self.activation(x)
         return _batch_norm(train)(x)

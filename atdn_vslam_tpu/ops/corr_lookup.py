@@ -103,6 +103,14 @@ def _interp_weights(
     return jnp.maximum(0.0, 1.0 - jnp.abs(pts[..., None] - grid))
 
 
+# NOTE (measured negative result): building the weights transposed
+# (..., size, span) with einsums "bnha,bnhw->bnaw" / "bnaw,bnwc->bnac"
+# to dodge the ~0.15 ms/iter layout copies of the (span, size) weights
+# REGRESSED the full pipeline 34.0 -> 32.9 fps on a v5e chip — the dot
+# prefers span-minor operands and re-tiles the transposed weights more
+# expensively than the copies it replaced. Keep the (span, size) form.
+
+
 def lookup_corr_pyramid(
     pyramid: list[jax.Array],
     coords: jax.Array,

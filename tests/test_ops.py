@@ -268,3 +268,28 @@ def test_stem_conv_s2d_matches_direct(rng):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-4
         )
+
+
+def test_attention_probs_spatial_matches_flat(rng):
+    """attention_probs_spatial == attention_probs reshaped (the scan-
+    loop layout variant; ops/attention.py)."""
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        attention_probs_spatial,
+    )
+
+    h, w, d = 6, 9, 16
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(2, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, n, d)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32))
+
+    for kwargs in ({}, {"bias": bias}, {"bias": bias, "position_only": True}):
+        flat = attention_probs(q, k, scale=1.0, **kwargs)
+        spatial = attention_probs_spatial(q, k, h, w, scale=1.0, **kwargs)
+        assert spatial.shape == (2, h, w, n)
+        np.testing.assert_allclose(
+            np.asarray(spatial).reshape(2, n, n), np.asarray(flat),
+            atol=1e-6,
+        )
