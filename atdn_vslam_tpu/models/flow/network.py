@@ -74,6 +74,11 @@ class _UpdateStep(nn.Module):
             coords1 = jax.lax.stop_gradient(coords1)
         b, h, w, _ = coords1.shape
         coords0 = coords_grid(h, w)[None]
+        # NOTE (measured): requesting token-major lookup output
+        # (spatial_out=False, re-tiling after the motion encoder's 1x1
+        # conv instead) REGRESSED the pipeline 34.0 -> 32.2 fps on a
+        # v5e chip despite the per-op trace suggesting otherwise —
+        # XLA's global layout propagation beats local reasoning here.
         corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
         flow = coords1 - coords0
 

@@ -69,7 +69,19 @@ class BasicMotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
-        cor = jax.nn.relu(_conv(256, (1, 1), self.dtype)(corr))
+        b, h, w, _ = flow.shape
+        if corr.ndim == 3:
+            # token-major (B, N, C) input: 1x1 conv before the spatial
+            # reshape (params identical — nn.Conv 1x1 on a (B, N, 1, C)
+            # view). Kept for callers that need it, but the production
+            # network passes spatial corr: the token-major route
+            # MEASURED SLOWER end to end (see models/flow/network.py).
+            cor = jax.nn.relu(
+                _conv(256, (1, 1), self.dtype)(corr[:, :, None])
+            )
+            cor = cor.reshape(b, h, w, 256)
+        else:
+            cor = jax.nn.relu(_conv(256, (1, 1), self.dtype)(corr))
         cor = jax.nn.relu(_conv(192, (3, 3), self.dtype)(cor))
         flo = jax.nn.relu(_conv(128, (7, 7), self.dtype)(flow))
         flo = jax.nn.relu(_conv(64, (3, 3), self.dtype)(flo))

@@ -66,9 +66,11 @@ def build_corr_pyramid(
     f2l = fmap2
     hl, wl = h2, w2
     for level in range(num_levels):
-        # emit the dot directly as (b, n, hl, wl): producing (b, n, m)
-        # and reshaping afterwards costs a full re-tiling copy of the
-        # level-0 volume (traced at ~0.5 ms/pair on a v5e chip)
+        # NOTE (measured): emitting the dot as (b, n, hl, wl) traces as
+        # TWO volume relayout copies (0.86 ms/pair) where the
+        # (b, n, m)+reshape form shows one (0.52 ms/pair) — yet the
+        # full pipeline runs FASTER with this form (34.0 vs 31.7 fps);
+        # the downstream layout choices it induces win globally.
         corr = jnp.einsum(
             "bnc,bhwc->bnhw", f1, f2l,
             preferred_element_type=jnp.float32,
@@ -115,6 +117,7 @@ def lookup_corr_pyramid(
     pyramid: list[jax.Array],
     coords: jax.Array,
     radius: int = 4,
+    spatial_out: bool = True,
 ) -> jax.Array:
     """Sample a (2r+1)^2 window at every level around ``coords``.
 
@@ -136,8 +139,14 @@ def lookup_corr_pyramid(
     :param pyramid: from :func:`build_corr_pyramid`.
     :param coords: (B, H1, W1, 2) current correspondence in frame-2
         pixel coords (x, y) at level-0 resolution.
+    :param spatial_out: return (B, H1, W1, C) when True; with False the
+        token-major (B, H1*W1, C) form is returned instead — the
+        query-major -> spatial re-tile of the 81-channel level outputs
+        costs ~0.13 ms/iteration on a v5e chip, so the caller should
+        keep tokens until after the first 1x1 conv widens the channels.
     :return: (B, H1, W1, num_levels*(2r+1)^2) float32 correlation
-        features, channel index = dy-major, dx-minor per level.
+        features (or (B, H1*W1, ...) with ``spatial_out=False``),
+        channel index = dy-major, dx-minor per level.
     """
     b, h1, w1, _ = coords.shape
     n1 = h1 * w1
@@ -159,7 +168,10 @@ def lookup_corr_pyramid(
             preferred_element_type=jnp.float32,
         )
         out.append(window.astype(jnp.float32).reshape(b, n1, -1))
-    return jnp.concatenate(out, axis=-1).reshape(b, h1, w1, -1)
+    tokens = jnp.concatenate(out, axis=-1)
+    if not spatial_out:
+        return tokens
+    return tokens.reshape(b, h1, w1, -1)
 
 
 def lookup_corr_pyramid_dynslice(

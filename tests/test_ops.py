@@ -293,3 +293,25 @@ def test_attention_probs_spatial_matches_flat(rng):
             np.asarray(spatial).reshape(2, n, n), np.asarray(flat),
             atol=1e-6,
         )
+
+
+def test_lookup_token_output_matches_spatial(rng):
+    """spatial_out=False returns the same values token-major
+    (kept-but-nonproduction path; see models/flow/network.py note)."""
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.ops.bilinear import coords_grid
+    from atdn_vslam_tpu.ops.corr_lookup import (
+        build_corr_pyramid,
+        lookup_corr_pyramid,
+    )
+
+    h8, w8 = 8, 12
+    f1 = jnp.asarray(rng.normal(size=(1, h8, w8, 32)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, h8, w8, 32)).astype(np.float32))
+    pyr = tuple(build_corr_pyramid(f1, f2, 3))
+    coords = coords_grid(h8, w8)[None] + 1.3
+    spatial = lookup_corr_pyramid(pyr, coords, radius=2)
+    tokens = lookup_corr_pyramid(pyr, coords, radius=2, spatial_out=False)
+    np.testing.assert_array_equal(
+        np.asarray(tokens).reshape(spatial.shape), np.asarray(spatial)
+    )

@@ -69,7 +69,10 @@ def main():
              rng.uniform(0, H8, (1, H8, W8))], -1
         ).astype(np.float32)
     )
-    print(f"corr build: {timeit(lambda a, b: jnp.concatenate([x.reshape(1, -1) for x in build_corr_pyramid(a, b, 4, dtype=DT)], 1), f1, f2) - floor:.3f} ms")
+    # consume each level with a scalar sum — concatenating the levels
+    # into one flat array costs a ~10 ms relayout of the whole volume
+    # and swamps the actual build time (round-2 lesson)
+    print(f"corr build: {timeit(lambda a, b: sum(jnp.sum(x.astype(jnp.float32)) for x in build_corr_pyramid(a, b, 4, dtype=DT)), f1, f2) - floor:.3f} ms")
     print(f"lookup: {timeit(lambda c, p: lookup_corr_pyramid(list(p), c), coords, pyr) - floor:.3f} ms")
 
     q, k = arr(1, N, 128), arr(1, N, 128)
