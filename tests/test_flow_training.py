@@ -55,12 +55,15 @@ def test_flow_train_step_decreases_loss(rng):
     gt = jnp.asarray(rng.normal(size=(2, H, W, 2)).astype(np.float32))
     valid = jnp.ones((2, H, W))
 
+    # enough steps that optimization beats Adam warm-up noise — with
+    # per-iteration coords detach (reference semantics) and random
+    # init, 5 steps was seed-flaky
     losses = []
-    for _ in range(5):
+    for _ in range(12):
         state, metrics = step(state, im1, im2, gt, valid)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert min(losses[-3:]) < losses[0]
+    assert min(losses[-4:]) < losses[0]
     assert float(metrics["epe"]) >= 0
 
 

@@ -315,3 +315,29 @@ def test_lookup_token_output_matches_spatial(rng):
     np.testing.assert_array_equal(
         np.asarray(tokens).reshape(spatial.shape), np.asarray(spatial)
     )
+
+
+def test_flash_probs_spatial_matches_xla(rng):
+    """Fused probs-materialization kernel (interpret mode) == XLA
+    softmax path, including non-multiple-of-block N padding."""
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        flash_probs_spatial,
+    )
+
+    h, w, d = 5, 11, 16
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    ref = attention_probs(q, k, scale=1.0)
+    got = flash_probs_spatial(q, k, h, w, scale=1.0, bk=32,
+                              interpret=True)
+    assert got.shape == (1, h, w, n)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(1, n, n), np.asarray(ref), atol=1e-6
+    )
+    # rows sum to one
+    np.testing.assert_allclose(
+        np.asarray(got).sum(-1), 1.0, atol=1e-5
+    )
