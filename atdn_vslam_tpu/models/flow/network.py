@@ -213,6 +213,7 @@ class RAFTGMA(nn.Module):
             probs = attention_probs_spatial(
                 q, k, inp.shape[1], inp.shape[2], scale=1.0, bias=bias,
                 position_only=self.position_only,
+                use_pallas=self.use_pallas,
             )
             q = k = bias = None
         else:

@@ -361,6 +361,7 @@ def attention_probs_spatial(
     bias: jax.Array | None = None,
     position_only: bool = False,
     store_dtype=None,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Materialize the attention probabilities directly in the
     (B, H, W, N) spatial layout the update loop consumes.
@@ -376,7 +377,15 @@ def attention_probs_spatial(
     """
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
-    if bias is None and not position_only and store_dtype is None:
+    # use_pallas=False forces the XLA path — required when the call
+    # sits inside a GSPMD-sharded computation (pallas_call does not
+    # auto-partition; see parallel/flow_sharding.py)
+    if (
+        use_pallas is not False
+        and bias is None
+        and not position_only
+        and store_dtype is None
+    ):
         from atdn_vslam_tpu.utils.platform import is_tpu
 
         if is_tpu():

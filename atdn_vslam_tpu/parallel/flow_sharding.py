@@ -45,6 +45,11 @@ def sharded_flow_infer(
     :param image1, image2: (B, H, W, 3); H/8 should be >= the axis size
         (GSPMD pads otherwise — still correct, just wasteful).
     :return: (flow_low, flow_up), replicated on all devices.
+
+    NOTE: construct the model with ``use_pallas=False`` for sharded
+    inference on real multi-chip hardware — Pallas kernels
+    (flash attention / flash_probs_spatial) do not auto-partition
+    under GSPMD; the XLA paths shard cleanly.
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P(None, axis))
