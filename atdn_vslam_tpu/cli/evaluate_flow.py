@@ -38,11 +38,9 @@ def _forward_fn(model, variables):
             variables, a, b, test_mode=True, flow_init=init
         )
     )
-    zero_init = None
 
     def run(im1, im2, flow_init=None):
         if flow_init is None:
-            nonlocal zero_init
             h8, w8 = im1.shape[0] // 8, im1.shape[1] // 8
             flow_init = jnp.zeros((1, h8, w8, 2))
         lo, up = fwd(
@@ -78,7 +76,12 @@ def evaluate_dataset(model, variables, dataset, limit=None,
         mag = np.linalg.norm(flow_gt, axis=-1)
         out = (err > 3.0) & (err / np.maximum(mag, 1e-9) > 0.05)
         f1s.append(out[mask])
-    pooled = np.concatenate(pixel_epes) if pixel_epes else np.zeros(1)
+    if not pixel_epes:
+        # an empty/misconfigured dataset must not report a perfect score
+        raise ValueError(
+            "no valid frames evaluated — check the dataset root"
+        )
+    pooled = np.concatenate(pixel_epes)
     return {
         "epe": float(np.mean(image_epes)) if image_epes else float("nan"),
         "epe_all": float(pooled.mean()),
@@ -97,11 +100,16 @@ def validate_chairs(model, variables, root, limit=None):
     from atdn_vslam_tpu.data.flow_datasets import FlyingChairsDataset
 
     ds = FlyingChairsDataset(root, split="validation")
-    if len(ds) == 0:  # no split file -> use everything
-        ds = FlyingChairsDataset(root)
+    suffix = ""
+    if not ds.split_applied:
+        # without FlyingChairs_train_val.txt the split cannot be
+        # applied; label the number honestly instead of calling a
+        # whole-dataset EPE "validation"
+        suffix = " (NO split file found — EPE over ALL pairs)"
     stats = evaluate_dataset(model, variables, ds, limit)
-    log(f"Validation (chairs) EPE: {stats['epe_all']:.3f}")
-    return {"chairs_epe": stats["epe_all"]}
+    log(f"Validation (chairs) EPE: {stats['epe_all']:.3f}{suffix}")
+    return {"chairs_epe": stats["epe_all"],
+            "split_applied": ds.split_applied}
 
 
 def validate_sintel(model, variables, root, limit=None):

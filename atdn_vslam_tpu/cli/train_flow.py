@@ -63,13 +63,12 @@ def main(argv=None) -> int:
 
     from atdn_vslam_tpu.data.flow_datasets import (
         STAGE_RECIPES,
-        FlowAugmentor,
         FlyingChairsDataset,
         FlyingThingsDataset,
         HD1KDataset,
         KittiFlowDataset,
         SintelDataset,
-        SparseFlowAugmentor,
+        _attach_aug,
         fetch_train_dataset,
     )
 
@@ -84,12 +83,17 @@ def main(argv=None) -> int:
             roots["kitti"] = args.root_kitti
         if args.root_hd1k:
             roots["hd1k"] = args.root_hd1k
+        if args.stage not in roots:
+            p.error(f"--stage {args.stage} requires its primary "
+                    "dataset root (--root)")
         # per-part augmentors are attached inside the mixture
         dataset = fetch_train_dataset(
             args.stage, roots, crop_size=crop, seed=args.seed
         )
         label = f"stage {args.stage}"
     else:
+        if args.root is None:
+            p.error("--dataset requires --root")
         if args.dataset == "kitti":
             dataset = KittiFlowDataset(args.root)
         elif args.dataset == "sintel":
@@ -100,9 +104,9 @@ def main(argv=None) -> int:
             dataset = HD1KDataset(args.root)
         else:
             dataset = FlyingChairsDataset(args.root)
-        recipe = STAGE_RECIPES.get(args.dataset, STAGE_RECIPES["sintel"])
-        aug_cls = SparseFlowAugmentor if dataset.sparse else FlowAugmentor
-        dataset.augmentor = aug_cls(crop, seed=args.seed, **recipe)
+        _attach_aug(
+            dataset, crop, args.seed, **STAGE_RECIPES[args.dataset]
+        )
         label = args.dataset
     log(f"{label}: {len(dataset)} pairs")
 

@@ -87,16 +87,30 @@ class FlowPairDataset:
 
 class FlyingChairsDataset(FlowPairDataset):
     """<root>/data/NNNNN_img{1,2}.ppm + NNNNN_flow.flo
-    (ref: datasets.py:166-179; the train/val split file is optional —
-    without it every pair is used)."""
+    (ref: datasets.py:166-179). The train/val split file
+    (``FlyingChairs_train_val.txt``) is auto-discovered in ``root`` or
+    its parent (the reference hardcodes that location); without it the
+    split filter CANNOT be applied and every pair is used —
+    ``split_applied`` records which happened so callers can refuse to
+    mislabel the result (cli/evaluate_flow.validate_chairs)."""
 
     def __init__(self, root: str, split: str = "training",
                  split_file: str | None = None):
         super().__init__()
         flows = sorted(glob.glob(os.path.join(root, "data", "*_flow.flo")))
+        if split_file is None:
+            for cand in (
+                os.path.join(root, "FlyingChairs_train_val.txt"),
+                os.path.join(os.path.dirname(root.rstrip("/")),
+                             "FlyingChairs_train_val.txt"),
+            ):
+                if os.path.exists(cand):
+                    split_file = cand
+                    break
         labels = None
         if split_file is not None and os.path.exists(split_file):
             labels = np.loadtxt(split_file, dtype=np.int32)
+        self.split_applied = labels is not None
         want = 1 if split == "training" else 2
         for i, f in enumerate(flows):
             if labels is not None and labels[i] != want:
@@ -218,7 +232,14 @@ class MixedFlowDataset:
         self._offsets = [0]
         for ds, repeat in parts:
             if len(ds) == 0:
-                continue
+                # silently dropping a part would train a DIFFERENT
+                # mixture than requested (e.g. the 200x-weighted KITTI
+                # component of the sintel stage vanishing because of a
+                # mistyped root)
+                raise ValueError(
+                    f"empty dataset in mixture: {type(ds).__name__} — "
+                    "check its root path"
+                )
             self._parts.append(ds)
             self._offsets.append(self._offsets[-1] + repeat * len(ds))
 
@@ -233,12 +254,15 @@ class MixedFlowDataset:
 
 
 #: per-stage augmentation scale ranges + mixtures
-#: (ref: datasets.py:272-299 fetch_dataloader)
+#: (ref: datasets.py:272-299 fetch_dataloader; the hd1k entry is its
+#: per-part recipe inside the sintel-stage mixture, datasets.py:290 —
+#: the reference has no standalone hd1k stage)
 STAGE_RECIPES = {
     "chairs": dict(min_scale=-0.1, max_scale=1.0, do_flip=True),
     "things": dict(min_scale=-0.4, max_scale=0.8, do_flip=True),
     "sintel": dict(min_scale=-0.2, max_scale=0.6, do_flip=True),
     "kitti": dict(min_scale=-0.2, max_scale=0.4, do_flip=False),
+    "hd1k": dict(min_scale=-0.5, max_scale=0.2, do_flip=True),
 }
 
 

@@ -182,7 +182,11 @@ class SlamRuntime:
             im = jax.image.resize(im, (*self._hw, 3), "bilinear")
         if im.shape[0] % 8 or im.shape[1] % 8:
             # replicate-pad to /8 (ref: InputPadder at neural_slam.py:199,
-            # GMA/core/utils/utils.py:8-21; kitti mode pads bottom/right)
+            # GMA/core/utils/utils.py:8-21). kitti mode: height padded
+            # at the bottom, width padding split left/right. The
+            # runtime then operates at the padded resolution (the
+            # reference does the same — its working size is already /8
+            # so the pad is a no-op there, neural_slam.py:198-199).
             im = InputPadder(im.shape, mode="kitti").pad(im)[0]
         return im
 
