@@ -17,23 +17,47 @@ from __future__ import annotations
 
 import glob
 import os
+from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
 
 
 class KeyframeStore:
-    def __init__(self, base_path: str, capacity: int = 4096):
+    """:param async_writes: spill keyframe RGB to disk on a background
+    thread (bounded to ``max_pending`` outstanding writes) so the
+    SLAM hot loop is not blocked on file IO — the reference writes a
+    ``.pth`` synchronously inside the per-frame call
+    (neural_slam.py:212-215). Reads and ``save()`` drain pending
+    writes first; worker errors re-raise on the caller thread."""
+
+    def __init__(self, base_path: str, capacity: int = 4096,
+                 async_writes: bool = True, max_pending: int = 8):
         self.base_path = base_path
         self.rgb_dir = os.path.join(base_path, "rgb")
         self.capacity = capacity
         self.count = 0
         self.poses = np.zeros((capacity, 4, 4), np.float64)
         self.embeddings: np.ndarray | None = None
+        self._pool = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="kf-io")
+            if async_writes else None
+        )
+        self._pending: list[Future] = []
+        self._max_pending = max_pending
+
+    def _drain(self) -> None:
+        """Wait for outstanding RGB writes; propagate worker errors."""
+        try:
+            for f in self._pending:
+                f.result()
+        finally:
+            self._pending.clear()
 
     # -- lifecycle ------------------------------------------------------
 
     def initialize_cold(self) -> None:
         """Create/wipe the on-disk store (ref: neural_slam.py:108-123)."""
+        self._drain()  # a pending write must not land after the wipe
         os.makedirs(self.rgb_dir, exist_ok=True)
         for f in glob.glob(os.path.join(self.rgb_dir, "*.npy")):
             os.remove(f)
@@ -59,6 +83,7 @@ class KeyframeStore:
             )
 
     def save(self) -> None:
+        self._drain()
         np.save(
             os.path.join(self.base_path, "poses.npy"),
             self.poses[: self.count],
@@ -84,12 +109,21 @@ class KeyframeStore:
             self.capacity *= 2
         idx = self.count
         os.makedirs(self.rgb_dir, exist_ok=True)
-        np.save(self.rgb_path(idx), np.asarray(rgb, np.uint8))
+        rgb = np.asarray(rgb, np.uint8)
+        if self._pool is not None:
+            if len(self._pending) >= self._max_pending:
+                self._drain()
+            self._pending.append(
+                self._pool.submit(np.save, self.rgb_path(idx), rgb)
+            )
+        else:
+            np.save(self.rgb_path(idx), rgb)
         self.poses[idx] = pose
         self.count += 1
         return idx
 
     def read_rgb(self, index: int) -> np.ndarray:
+        self._drain()
         return np.load(self.rgb_path(index))
 
     def set_embeddings(self, embeddings: np.ndarray) -> None:

@@ -254,3 +254,35 @@ def test_run_odometry_sequence_requires_fresh(tmp_path, model_vars):
     slam(frames(1)[0])
     with pytest.raises(RuntimeError):
         slam.run_odometry_sequence(np.stack(frames(3)))
+
+
+def test_keyframe_store_async_writes(tmp_path):
+    """Async RGB spill: reads/saves drain pending writes; worker errors
+    propagate to the caller; sync mode unchanged."""
+    store = KeyframeStore(str(tmp_path / "a"), capacity=4)
+    store.initialize_cold()
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (6, 8, 3), dtype=np.uint8)
+            for _ in range(12)]  # > max_pending -> exercises drain
+    for i, im in enumerate(imgs):
+        store.append(im, np.eye(4) * (i + 1))
+    for i, im in enumerate(imgs):
+        np.testing.assert_array_equal(store.read_rgb(i), im)
+    store.save()
+    assert not store._pending
+
+    # error propagation: a failed background write surfaces on drain
+    def boom():
+        raise RuntimeError("disk full")
+
+    store._pending.append(store._pool.submit(boom))
+    with pytest.raises(RuntimeError, match="disk full"):
+        store._drain()
+    assert not store._pending
+
+    # sync mode still works
+    sync = KeyframeStore(str(tmp_path / "b"), capacity=2,
+                         async_writes=False)
+    sync.initialize_cold()
+    sync.append(np.zeros((2, 2, 3), np.uint8), np.eye(4))
+    assert sync.read_rgb(0).shape == (2, 2, 3)
