@@ -392,6 +392,61 @@ class SlamRuntime:
             codes.append(np.asarray(mu).reshape(len(imgs), -1))
         self.keyframes.set_embeddings(np.concatenate(codes, axis=0))
 
+    def refine_trajectory(
+        self,
+        closures: list[tuple[int, int, np.ndarray]],
+        iterations: int = 10,
+        closure_weight: float = 1.0,
+    ) -> tuple[np.ndarray, float]:
+        """Pose-graph refinement of the keyframe trajectory — a
+        capability the reference lacks entirely (SURVEY.md build step
+        9): consecutive keyframe relative poses become odometry edges,
+        ``closures`` adds loop-closure constraints (e.g. from
+        relocalization hits: ``(i, j, T_ij)`` with ``T_ij`` the 4x4
+        measured pose of keyframe j in keyframe i's frame), and a
+        damped Gauss-Newton solve on SE(3)
+        (geometry/pose_graph.py) redistributes the closure error along
+        the chain. Keyframe poses are updated in place.
+
+        :return: (optimized (K, 4, 4) poses, final mean residual).
+        """
+        from atdn_vslam_tpu.geometry.pose_graph import (
+            odometry_edges,
+            optimize_pose_graph,
+        )
+        from atdn_vslam_tpu.geometry.se3 import se3_inverse
+
+        n = len(self.keyframes)
+        if n < 2:
+            raise RuntimeError("trajectory refinement needs >= 2 keyframes")
+        if not closures:
+            raise ValueError(
+                "refine_trajectory needs at least one closure edge — "
+                "odometry edges alone are already consistent"
+            )
+        poses = jnp.asarray(self.keyframes.poses[:n], jnp.float32)
+        ei, ej = odometry_edges(n)
+        meas = se3_inverse(poses[ei]) @ poses[ej]
+        ci = jnp.asarray([c[0] for c in closures], ei.dtype)
+        cj = jnp.asarray([c[1] for c in closures], ej.dtype)
+        cm = jnp.stack([jnp.asarray(c[2], jnp.float32) for c in closures])
+        weights = jnp.concatenate([
+            jnp.ones((ei.shape[0],), jnp.float32),
+            jnp.full((ci.shape[0],), closure_weight, jnp.float32),
+        ])
+        opt, mse = optimize_pose_graph(
+            poses,
+            jnp.concatenate([ei, ci]),
+            jnp.concatenate([ej, cj]),
+            jnp.concatenate([meas, cm]),
+            weights,
+            iterations=iterations,
+        )
+        opt = np.asarray(opt, np.float64)
+        self.keyframes.poses[:n] = opt
+        self.keyframes.save()
+        return opt, float(mse)
+
     def _relocalize(self, image: np.ndarray):
         """Query -> (initial pose, refined pose, distances)
         (ref: neural_slam.py:355-399)."""

@@ -286,3 +286,51 @@ def test_keyframe_store_async_writes(tmp_path):
     sync.initialize_cold()
     sync.append(np.zeros((2, 2, 3), np.uint8), np.eye(4))
     assert sync.read_rgb(0).shape == (2, 2, 3)
+
+
+def test_refine_trajectory_with_closure(tmp_path, model_vars):
+    """A loop closure redistributes accumulated drift along the
+    keyframe chain (new capability; geometry/pose_graph.py)."""
+    from atdn_vslam_tpu.geometry.pose_graph import se3_exp
+
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+
+    # synthetic keyframes: ground truth is a straight line; the stored
+    # trajectory integrates slightly-wrong odometry steps, so drift
+    # ACCUMULATES along the chain (the situation a loop closure fixes)
+    rng = np.random.default_rng(7)
+    n = 8
+    gt = np.stack([np.eye(4) for _ in range(n)])
+    for i in range(1, n):
+        gt[i] = gt[i - 1].copy()
+        gt[i][:3, 3] += [0.0, 0.0, 1.0]
+    step_noise = np.asarray(
+        se3_exp(np.asarray(rng.normal(size=(n - 1, 6)), np.float32) * 0.03)
+    )
+    noisy = [gt[0]]
+    for i in range(n - 1):
+        rel = np.linalg.inv(gt[i]) @ gt[i + 1] @ step_noise[i]
+        noisy.append(noisy[-1] @ rel)
+    noisy = np.stack(noisy)
+    for i in range(n):
+        slam.keyframes.append(np.zeros((4, 4, 3), np.uint8), noisy[i])
+
+    err_before = np.linalg.norm(
+        slam.keyframes.poses[:n, :3, 3] - gt[:, :3, 3], axis=1
+    ).mean()
+    closure = np.linalg.inv(gt[0]) @ gt[n - 1]  # true relative pose
+    opt, mse = slam.refine_trajectory(
+        [(0, n - 1, closure)], iterations=8, closure_weight=4.0
+    )
+    err_after = np.linalg.norm(
+        opt[:, :3, 3] - gt[:, :3, 3], axis=1
+    ).mean()
+    assert np.isfinite(mse)
+    assert err_after < err_before
+    # store updated in place and persisted
+    np.testing.assert_allclose(slam.keyframes.poses[:n], opt)
+
+    with pytest.raises(ValueError, match="closure"):
+        slam.refine_trajectory([])
