@@ -58,6 +58,10 @@ def main(argv=None) -> int:
     p.add_argument("--restore", default=None)
     p.add_argument("--output", default="flow_trained.msgpack")
     p.add_argument("--no-mesh", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize update steps on backward: "
+                        "O(1) update activations instead of O(iters) "
+                        "— larger crops/batches on a fixed HBM budget")
     p.add_argument("--log-every", type=int, default=100)
     args = p.parse_args(argv)
 
@@ -116,6 +120,7 @@ def main(argv=None) -> int:
         iters=args.iters,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=None if on_tpu else False,
+        remat=args.remat,
     )
     tx = make_optimizer(args.lr, args.steps, args.wd, args.clip)
     h, w = args.crop

@@ -47,9 +47,8 @@ class StemConv7x7s2(nn.Module):
             xb.shape, k.shape, ("NHWC", "HWIO", "NHWC")
         )
         out = jax.lax.conv_general_dilated(
-            xb, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        ).astype(xb.dtype)
+            xb, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
+        )
         return out + bias.astype(out.dtype)
 
 

@@ -120,6 +120,12 @@ class RAFTGMA(nn.Module):
     use_pallas: bool | None = None
     position_only: bool = False
     position_and_content: bool = False
+    #: rematerialize each scanned update step on the backward pass
+    #: (jax.checkpoint): training memory drops from O(iters) update
+    #: activations to O(1) + recompute — enables larger crops/batches
+    #: for flow training on a fixed HBM budget. No effect on values or
+    #: gradients (equality-tested), only on the autodiff schedule.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -247,6 +253,8 @@ class RAFTGMA(nn.Module):
                 )
                 return carry, out
 
+            if self.remat:
+                body = nn.remat(body)
             scan = nn.scan(
                 body,
                 variable_broadcast="params",

@@ -275,7 +275,7 @@ def _probs_write_kernel(q_ref, k_ref, m_ref, l_ref, o_ref,
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "scale", "bk", "interpret")
 )
-def flash_probs_spatial(
+def _flash_probs_impl(
     q: jax.Array,
     k: jax.Array,
     h: int,
@@ -284,17 +284,6 @@ def flash_probs_spatial(
     bk: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Materialize softmax(scale * q k^T) directly as (B, H, W, N)
-    bf16/f32 — one fused MXU+VPU pipeline instead of XLA's dot ->
-    reduce -> divide+convert chain over the f32 (N, N) scores
-    (three full HBM passes, traced ~1.1 ms/pair at KITTI resolution;
-    this kernel recomputes the cheap QK^T dot once per pass and writes
-    the probabilities exactly once).
-
-    :param q: (B, N, D) pre-scaled queries (N = h*w).
-    :param k: (B, N, D) keys.
-    :return: (B, h, w, N) probabilities in q's dtype.
-    """
     b, n, d = q.shape
     n_k = _round_up(n, bk)
     qs = q.reshape(b, h, w, d)
@@ -350,6 +339,59 @@ def flash_probs_spatial(
         interpret=interpret,
     )(qs, kp, m, l)
     return out[..., :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def flash_probs_spatial(
+    q: jax.Array,
+    k: jax.Array,
+    h: int,
+    w: int,
+    scale: float = 1.0,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Materialize softmax(scale * q k^T) directly as (B, H, W, N)
+    bf16/f32 — one fused MXU+VPU pipeline instead of XLA's dot ->
+    reduce -> divide+convert chain over the f32 (N, N) scores
+    (three full HBM passes, traced ~1.1 ms/pair at KITTI resolution;
+    this kernel recomputes the cheap QK^T dot once per pass and writes
+    the probabilities exactly once).
+
+    Differentiable: ``pallas_call`` has no autodiff rule, so a
+    custom VJP supplies the analytic softmax backward
+    (dS = P * (dP - sum(dP*P)); dq = dS k, dk = dS^T q) through XLA —
+    flow training at materialization-eligible resolutions
+    differentiates through this op.
+
+    :param q: (B, N, D) pre-scaled queries (N = h*w).
+    :param k: (B, N, D) keys.
+    :return: (B, h, w, N) probabilities in q's dtype.
+    """
+    return _flash_probs_impl(q, k, h, w, scale, bk, interpret)
+
+
+def _flash_probs_fwd(q, k, h, w, scale, bk, interpret):
+    p = _flash_probs_impl(q, k, h, w, scale, bk, interpret)
+    return p, (q, k, p)
+
+
+def _flash_probs_bwd(h, w, scale, bk, interpret, res, dp):
+    q, k, p = res
+    b, n, d = q.shape
+    pf = p.astype(jnp.float32).reshape(b, n, n)
+    dpf = dp.astype(jnp.float32).reshape(b, n, n)
+    ds = pf * (dpf - jnp.sum(dpf * pf, axis=-1, keepdims=True))
+    dq = jnp.einsum(
+        "bnm,bmd->bnd", ds, k.astype(jnp.float32)
+    ) * scale
+    dk = jnp.einsum(
+        "bnm,bnd->bmd", ds, q.astype(jnp.float32)
+    ) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype)
+
+
+flash_probs_spatial.defvjp(_flash_probs_fwd, _flash_probs_bwd)
 
 
 def attention_probs_spatial(

@@ -57,11 +57,12 @@ def conv7x7s2_s2d(
     dn = jax.lax.conv_dimension_numbers(
         xs.shape, kk.shape, ("NHWC", "HWIO", "NHWC")
     )
+    # same dtype contract as nn.Conv (XLA's bf16 conv accumulates f32
+    # internally); forcing preferred_element_type=f32 breaks reverse-
+    # mode AD dtype matching (f32 cotangent vs bf16 operands)
     out = jax.lax.conv_general_dilated(
-        xs, kk, (1, 1), ((2, 1), (2, 1)),
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        xs, kk, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+    )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

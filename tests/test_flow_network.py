@@ -199,3 +199,52 @@ def test_relpos_bias_structure():
     diff1 = b[1, 2, 0, 3] - b[1, 2, 0, 1]
     diff2 = b[1, 2, 3, 3] - b[1, 2, 3, 1]
     np.testing.assert_allclose(diff1, diff2, atol=1e-5)
+
+
+def test_remat_matches_values_and_gradients(rng):
+    """remat=True changes only the autodiff schedule: training-mode
+    outputs and parameter gradients are identical."""
+    import jax
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.models.flow import RAFTGMA
+
+    h, w = 64, 96
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    base = RAFTGMA(iters=3, use_pallas=False)
+    variables = base.init(jax.random.key(0), im1, im2)
+
+    def loss(params, remat):
+        model = RAFTGMA(iters=3, use_pallas=False, remat=remat)
+        preds = model.apply(
+            dict(variables, params=params), im1, im2, test_mode=False
+        )
+        return jnp.sum(preds**2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(variables["params"])
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(variables["params"])
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    # Gradients agree up to f32 recompute rounding — XLA fuses the
+    # rematerialized forward differently, and with a random-init
+    # network individual elements cancel catastrophically. Structural
+    # equivalence is pinned by per-leaf direction (cosine) and norm,
+    # skipping noise-scale leaves (e.g. the fnet stem BIAS: instance
+    # norm makes the loss exactly invariant to it, so its "gradient"
+    # is pure cancellation noise in both versions).
+    global_scale = max(
+        float(np.abs(np.asarray(x)).max())
+        for x in jax.tree_util.tree_leaves(g0)
+    )
+    for (p0, a), (p1, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        assert p0 == p1
+        a = np.asarray(a).ravel().astype(np.float64)
+        b = np.asarray(b).ravel().astype(np.float64)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if max(na, nb) < 1e-7 * global_scale:
+            continue
+        cos = float(a @ b / (na * nb))
+        assert cos > 0.999, (p0, cos)
+        assert 0.97 < na / nb < 1.03, (p0, na, nb)

@@ -341,3 +341,34 @@ def test_flash_probs_spatial_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got).sum(-1), 1.0, atol=1e-5
     )
+
+
+def test_flash_probs_spatial_gradients(rng):
+    """custom-VJP backward of the probs kernel == autodiff through the
+    XLA softmax (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        flash_probs_spatial,
+    )
+
+    h, w, d = 4, 6, 8
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(1, h, w, n)).astype(np.float32))
+
+    def loss_kernel(q, k):
+        p = flash_probs_spatial(q, k, h, w, scale=0.7, bk=16,
+                                interpret=True)
+        return jnp.sum((p - tgt) ** 2)
+
+    def loss_xla(q, k):
+        p = attention_probs(q, k, scale=0.7).reshape(1, h, w, n)
+        return jnp.sum((p - tgt) ** 2)
+
+    gq0, gk0 = jax.grad(loss_xla, argnums=(0, 1))(q, k)
+    gq1, gk1 = jax.grad(loss_kernel, argnums=(0, 1))(q, k)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), atol=1e-5)
