@@ -83,13 +83,12 @@ def evaluate_dataset(model, variables, dataset, limit=None,
         )
     pooled = np.concatenate(pixel_epes)
     return {
-        "epe": float(np.mean(image_epes)) if image_epes else float("nan"),
+        "epe": float(np.mean(image_epes)),
         "epe_all": float(pooled.mean()),
         "1px": float((pooled < 1).mean()),
         "3px": float((pooled < 3).mean()),
         "5px": float((pooled < 5).mean()),
-        "f1_all": float(np.concatenate(f1s).mean() * 100.0)
-        if f1s else float("nan"),
+        "f1_all": float(np.concatenate(f1s).mean() * 100.0),
         "frames": len(image_epes),
     }
 

@@ -112,10 +112,16 @@ class FlyingChairsDataset(FlowPairDataset):
             labels = np.loadtxt(split_file, dtype=np.int32)
         self.split_applied = labels is not None
         want = 1 if split == "training" else 2
-        for i, f in enumerate(flows):
-            if labels is not None and labels[i] != want:
-                continue
+        for f in flows:
             stem = f[: -len("_flow.flo")]
+            if labels is not None:
+                # look the label up by the pair's NNNNN id, not the
+                # glob position — a partial data/ directory would
+                # otherwise silently shift every membership after the
+                # first gap
+                pair_id = int(os.path.basename(stem)) - 1
+                if pair_id >= len(labels) or labels[pair_id] != want:
+                    continue
             self.image_pairs.append((stem + "_img1.ppm", stem + "_img2.ppm"))
             self.flow_files.append(f)
 
@@ -319,7 +325,7 @@ def fetch_train_dataset(
         if "hd1k" in roots:  # ref: datasets.py:290
             parts.append((_attach_aug(
                 HD1KDataset(roots["hd1k"]), crop_size, seed,
-                min_scale=-0.5, max_scale=0.2, do_flip=True), 5))
+                **STAGE_RECIPES["hd1k"]), 5))
         if "things" in roots:
             parts.append((_attach_aug(
                 FlyingThingsDataset(roots["things"],

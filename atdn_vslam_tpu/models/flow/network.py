@@ -254,7 +254,10 @@ class RAFTGMA(nn.Module):
                 return carry, out
 
             if self.remat:
-                body = nn.remat(body)
+                # prevent_cse=False: inside lax.scan the loop already
+                # blocks the problematic CSE, and the default barriers
+                # would block fusions in the hot update loop
+                body = nn.remat(body, prevent_cse=False)
             scan = nn.scan(
                 body,
                 variable_broadcast="params",

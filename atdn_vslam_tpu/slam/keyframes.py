@@ -53,6 +53,18 @@ class KeyframeStore:
         finally:
             self._pending.clear()
 
+    def flush(self) -> None:
+        """Public drain: call before process exit to surface any
+        pending write errors (reads/save()/initialize_cold() drain
+        implicitly)."""
+        self._drain()
+
+    def __del__(self):  # best-effort terminal drain
+        try:
+            self._drain()
+        except Exception:
+            pass
+
     # -- lifecycle ------------------------------------------------------
 
     def initialize_cold(self) -> None:
@@ -109,15 +121,20 @@ class KeyframeStore:
             self.capacity *= 2
         idx = self.count
         os.makedirs(self.rgb_dir, exist_ok=True)
-        rgb = np.asarray(rgb, np.uint8)
         if self._pool is not None:
+            # copy: np.asarray aliases an already-uint8 caller buffer,
+            # and the write may run several appends later — a reused
+            # camera buffer would be persisted with the WRONG frame
+            rgb = np.array(rgb, np.uint8, copy=True)
             if len(self._pending) >= self._max_pending:
-                self._drain()
+                # backpressure: wait only for the oldest write (a full
+                # drain would stall the hot loop on every burst)
+                self._pending.pop(0).result()
             self._pending.append(
                 self._pool.submit(np.save, self.rgb_path(idx), rgb)
             )
         else:
-            np.save(self.rgb_path(idx), rgb)
+            np.save(self.rgb_path(idx), np.asarray(rgb, np.uint8))
         self.poses[idx] = pose
         self.count += 1
         return idx

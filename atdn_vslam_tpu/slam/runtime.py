@@ -424,6 +424,14 @@ class SlamRuntime:
                 "refine_trajectory needs at least one closure edge — "
                 "odometry edges alone are already consistent"
             )
+        for i, j, _ in closures:
+            # validate on host: inside jit an out-of-range index would
+            # CLAMP silently (JAX gather semantics) and constrain the
+            # wrong keyframes
+            if not (0 <= i < n and 0 <= j < n):
+                raise ValueError(
+                    f"closure ({i}, {j}) out of range for {n} keyframes"
+                )
         poses = jnp.asarray(self.keyframes.poses[:n], jnp.float32)
         ei, ej = odometry_edges(n)
         meas = se3_inverse(poses[ei]) @ poses[ej]
