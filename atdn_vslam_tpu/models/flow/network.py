@@ -12,11 +12,12 @@ TPU-native re-design of ref: GMA/core/network.py:26-129:
     and ``softmax(q k^T) v`` is fused per iteration (see
     ops/attention.py and models/flow/gma.py);
   * in test mode the learned convex upsampling AND its mask-head convs
-    run once on the final flow instead of every iteration (the
-    reference computes both every iteration even in test mode and
-    discards 11 of 12, network.py:116-127, update.py:135-138) — the
-    update recurrence is an ``iters-1``-step ``nn.scan`` plus one final
-    direct call on the same shared-parameter step module.
+    run once, outside the scan, on the final hidden state/flow instead
+    of every iteration (the reference computes both every iteration
+    even in test mode and discards 11 of 12, network.py:116-127,
+    update.py:135-138) — the update recurrence is an ``iters``-step
+    ``nn.scan`` plus one mask-only call on the same shared-parameter
+    step module.
 
 Hyperparameters fixed by the reference: hidden/context dim 128,
 4 correlation levels, radius 4 (network.py:31-34).
@@ -49,10 +50,14 @@ class _UpdateStep(nn.Module):
     """One recurrence step: corr lookup -> GMA update -> flow
     integrate (ref: network.py:107-122).
 
-    A single instance is shared between the ``iters-1``-step scan and
-    one final direct call (same params, flax function-scan pattern), so
+    A single instance is shared between the ``iters``-step scan and one
+    final mask-only call (same params, flax function-scan pattern), so
     the upsample-mask head runs exactly once per frame pair in test
-    mode instead of every iteration."""
+    mode instead of every iteration — and it runs OUTSIDE the scan,
+    from the final hidden state alone: unrolling the whole last
+    iteration instead (the previous design) made XLA materialize a
+    second, differently-laid-out copy of the ~105 MB level-0
+    correlation volume every frame (traced at ~0.6 ms/frame)."""
 
     corr_radius: int
     hidden_dim: int
@@ -64,8 +69,16 @@ class _UpdateStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, inp, q, k, bias, probs, pyramid,
-                 last: bool = False):
+                 mask_only: bool = False):
         net, coords1 = carry
+        if mask_only:
+            # test mode epilogue: upsample-mask head on the final
+            # hidden state (ref computes this inside every iteration,
+            # GMA/core/update.py:135-138; only the last is consumed).
+            return GMAUpdateBlock(
+                self.hidden_dim, self.heads, self.dtype,
+                self.use_pallas, self.position_only,
+            )(net, None, None, None, None, None, mask_only=True)
         if self.upsample_in_scan:
             # training recipe parity: the reference detaches coords1 at
             # the top of every iteration (GMA/core/network.py:108), so
@@ -94,9 +107,10 @@ class _UpdateStep(nn.Module):
             k,
             bias,
             probs,
-            # test mode: only the final mask is consumed — the scanned
-            # steps skip the mask-head convs entirely (static flag).
-            compute_mask=self.upsample_in_scan or last,
+            # test mode: only the final mask is consumed (computed by
+            # the mask_only call above) — the scanned steps skip the
+            # mask-head convs entirely (static flag).
+            compute_mask=self.upsample_in_scan,
         )
         coords1 = coords1 + delta_flow.astype(jnp.float32)
 
@@ -106,7 +120,7 @@ class _UpdateStep(nn.Module):
             )
         else:
             out = None
-        return (net, coords1), (out, up_mask if last else None)
+        return (net, coords1), out
 
 
 class RAFTGMA(nn.Module):
@@ -243,48 +257,39 @@ class RAFTGMA(nn.Module):
             name="update",
         )
         carry = (net, coords1)
-        if self.iters > 1:
-            # iters-1 scanned steps + one final direct call on the SAME
-            # module instance (shared params): in test mode only the
-            # final call computes the upsample mask.
-            def body(mdl, carry, inp, q, k, bias, probs, pyramid):
-                carry, (out, _) = mdl(
-                    carry, inp, q, k, bias, probs, pyramid, last=False
-                )
-                return carry, out
 
-            if self.remat:
-                # prevent_cse=False: inside lax.scan the loop already
-                # blocks the problematic CSE, and the default barriers
-                # would block fusions in the hot update loop
-                body = nn.remat(body, prevent_cse=False)
-            scan = nn.scan(
-                body,
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                         nn.broadcast, nn.broadcast, nn.broadcast),
-                out_axes=0,
-                length=self.iters - 1,
-            )
-            carry, outs = scan(
-                step, carry, inp, q, k, bias, probs, pyramid
-            )
-        else:
-            outs = None
-        carry, (out_last, final_mask) = step(
-            carry, inp, q, k, bias, probs, pyramid, last=True
+        # all ``iters`` steps run inside ONE scan; in test mode the
+        # mask head then runs once on the final carry (same module
+        # instance -> shared params, flax function-scan pattern).
+        def body(mdl, carry, inp, q, k, bias, probs, pyramid):
+            return mdl(carry, inp, q, k, bias, probs, pyramid)
+
+        if self.remat:
+            # prevent_cse=False: inside lax.scan the loop already
+            # blocks the problematic CSE, and the default barriers
+            # would block fusions in the hot update loop
+            body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.iters,
         )
+        carry, outs = scan(step, carry, inp, q, k, bias, probs, pyramid)
         net, coords1 = carry
 
         flow_low = coords1 - coords0
         if test_mode:
+            final_mask = step(
+                carry, inp, q, k, bias, probs, pyramid, mask_only=True
+            )
             flow_up = convex_upsample(
                 flow_low, final_mask.astype(jnp.float32)
             )
             if return_features:
                 return (flow_low, flow_up), fmap2
             return flow_low, flow_up
-        if outs is None:
-            return out_last[None]
-        return jnp.concatenate([outs, out_last[None]], axis=0)
+        return outs

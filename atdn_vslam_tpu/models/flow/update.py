@@ -116,7 +116,17 @@ class GMAUpdateBlock(nn.Module):
         bias: jax.Array | None = None,
         probs: jax.Array | None = None,
         compute_mask: bool = True,
-    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        mask_only: bool = False,
+    ) -> tuple[jax.Array, jax.Array, jax.Array] | jax.Array:
+        if mask_only:
+            # upsample-mask head alone, from a (final) hidden state:
+            # the two convs below are the only direct nn.Conv children
+            # of this module, so they bind the same Conv_0/Conv_1
+            # params in both paths.
+            mask = _conv(256, (3, 3), self.dtype)(net)
+            return 0.25 * _conv(64 * 9, (1, 1), self.dtype)(
+                jax.nn.relu(mask)
+            )
         motion = BasicMotionEncoder(self.dtype)(flow, corr)
         motion_global = Aggregate(
             self.heads, 128, self.dtype, self.use_pallas,
