@@ -14,9 +14,9 @@ from flax import linen as nn
 from atdn_vslam_tpu.models.flow.gma import Aggregate
 
 
-def _conv(features, kernel, dtype):
+def _conv(features, kernel, dtype, name=None):
     pad = tuple((k // 2, k // 2) for k in kernel)
-    return nn.Conv(features, kernel, padding=pad, dtype=dtype)
+    return nn.Conv(features, kernel, padding=pad, dtype=dtype, name=name)
 
 
 class FlowHead(nn.Module):
@@ -119,14 +119,14 @@ class GMAUpdateBlock(nn.Module):
         mask_only: bool = False,
     ) -> tuple[jax.Array, jax.Array, jax.Array] | jax.Array:
         if mask_only:
-            # upsample-mask head alone, from a (final) hidden state:
-            # the two convs below are the only direct nn.Conv children
-            # of this module, so they bind the same Conv_0/Conv_1
-            # params in both paths.
-            mask = _conv(256, (3, 3), self.dtype)(net)
-            return 0.25 * _conv(64 * 9, (1, 1), self.dtype)(
-                jax.nn.relu(mask)
-            )
+            # upsample-mask head alone, from a (final) hidden state.
+            # The explicit names make the weight sharing with the
+            # normal path structural rather than dependent on flax
+            # auto-numbering order (advisor round-2 finding).
+            mask = _conv(256, (3, 3), self.dtype, name="mask_conv1")(net)
+            return 0.25 * _conv(
+                64 * 9, (1, 1), self.dtype, name="mask_conv2"
+            )(jax.nn.relu(mask))
         motion = BasicMotionEncoder(self.dtype)(flow, corr)
         motion_global = Aggregate(
             self.heads, 128, self.dtype, self.use_pallas,
@@ -142,10 +142,10 @@ class GMAUpdateBlock(nn.Module):
         # params are still created at init (``is_initializing``) so the
         # variable tree is identical in both settings.
         if compute_mask or self.is_initializing():
-            mask = _conv(256, (3, 3), self.dtype)(net)
-            mask = 0.25 * _conv(64 * 9, (1, 1), self.dtype)(
-                jax.nn.relu(mask)
-            )
+            mask = _conv(256, (3, 3), self.dtype, name="mask_conv1")(net)
+            mask = 0.25 * _conv(
+                64 * 9, (1, 1), self.dtype, name="mask_conv2"
+            )(jax.nn.relu(mask))
         if not compute_mask:
             mask = jnp.zeros(net.shape[:-1] + (64 * 9,), self.dtype)
         return net, mask, delta_flow

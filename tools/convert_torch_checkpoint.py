@@ -265,7 +265,7 @@ def convert_gma(sd: dict) -> dict:
              _conv(sd[f"update_block.flow_head.{tname}.weight"]))
         _set(tree, f"params/{up}/FlowHead_0/{fname}/bias",
              _np(sd[f"update_block.flow_head.{tname}.bias"]))
-    for i, fname in ((0, "Conv_0"), (2, "Conv_1")):
+    for i, fname in ((0, "mask_conv1"), (2, "mask_conv2")):
         _set(tree, f"params/{up}/{fname}/kernel",
              _conv(sd[f"update_block.mask.{i}.weight"]))
         _set(tree, f"params/{up}/{fname}/bias",
