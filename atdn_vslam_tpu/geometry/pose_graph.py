@@ -24,6 +24,8 @@ produces.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -278,10 +280,19 @@ def optimize_pose_graph_sharded(
         jax.device_put(measurements, edge_sharding),
         jax.device_put(weights, edge_sharding) if weights is not None else None,
     )
-    fn = jax.jit(
+    return _sharded_solve_fn(mesh, iterations, damping)(*args)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_solve_fn(mesh, iterations: int, damping: float):
+    """Cached jitted solver (a fresh lambda per call would defeat
+    jit's trace cache and pay retrace on every solve)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
         lambda p, ei, ej, m, w: optimize_pose_graph(
             p, ei, ej, m, w, iterations, damping
         ),
         out_shardings=(repl, repl),
     )
-    return fn(*args)

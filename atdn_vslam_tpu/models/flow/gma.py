@@ -126,6 +126,11 @@ class Aggregate(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool | None = None
     position_only: bool = False
+    #: optional (mesh, axis name) for GSPMD composition: the flash
+    #: attention kernel runs query-row-sharded via shard_map
+    #: (ops/attention.py sharded_flash_attend)
+    spatial_mesh: Any = None
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -153,6 +158,7 @@ class Aggregate(nn.Module):
             out = attend(
                 q, k, v, scale=1.0, use_pallas=self.use_pallas,
                 bias=bias, position_only=self.position_only,
+                mesh=self.spatial_mesh, axis=self.spatial_axis,
             )
         out = rearrange(
             out, "(b h) (x y) d -> b x y (h d)", h=self.heads, x=h, y=w

@@ -66,6 +66,8 @@ class _UpdateStep(nn.Module):
     use_pallas: bool | None
     upsample_in_scan: bool
     position_only: bool = False
+    spatial_mesh: Any = None
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, carry, inp, q, k, bias, probs, pyramid,
@@ -78,6 +80,8 @@ class _UpdateStep(nn.Module):
             return GMAUpdateBlock(
                 self.hidden_dim, self.heads, self.dtype,
                 self.use_pallas, self.position_only,
+                spatial_mesh=self.spatial_mesh,
+                spatial_axis=self.spatial_axis,
             )(net, None, None, None, None, None, mask_only=True)
         if self.upsample_in_scan:
             # training recipe parity: the reference detaches coords1 at
@@ -97,7 +101,8 @@ class _UpdateStep(nn.Module):
 
         net, up_mask, delta_flow = GMAUpdateBlock(
             self.hidden_dim, self.heads, self.dtype, self.use_pallas,
-            self.position_only,
+            self.position_only, spatial_mesh=self.spatial_mesh,
+            spatial_axis=self.spatial_axis,
         )(
             net,
             inp,
@@ -140,6 +145,12 @@ class RAFTGMA(nn.Module):
     #: for flow training on a fixed HBM budget. No effect on values or
     #: gradients (equality-tested), only on the autodiff schedule.
     remat: bool = False
+    #: optional GSPMD composition: a jax.sharding.Mesh and axis name
+    #: over which the spatial rows are sharded. The Pallas attention
+    #: kernels then run row-sharded via shard_map instead of being
+    #: disabled in sharded inference (parallel/flow_sharding.py).
+    spatial_mesh: Any = None
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -234,6 +245,7 @@ class RAFTGMA(nn.Module):
                 q, k, inp.shape[1], inp.shape[2], scale=1.0, bias=bias,
                 position_only=self.position_only,
                 use_pallas=self.use_pallas,
+                mesh=self.spatial_mesh, axis=self.spatial_axis,
             )
             q = k = bias = None
         else:
@@ -254,6 +266,8 @@ class RAFTGMA(nn.Module):
             self.use_pallas,
             upsample_in_scan,
             self.position_only,
+            spatial_mesh=self.spatial_mesh,
+            spatial_axis=self.spatial_axis,
             name="update",
         )
         carry = (net, coords1)

@@ -103,6 +103,8 @@ class GMAUpdateBlock(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool | None = None
     position_only: bool = False
+    spatial_mesh: Any = None
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -130,7 +132,8 @@ class GMAUpdateBlock(nn.Module):
         motion = BasicMotionEncoder(self.dtype)(flow, corr)
         motion_global = Aggregate(
             self.heads, 128, self.dtype, self.use_pallas,
-            self.position_only,
+            self.position_only, spatial_mesh=self.spatial_mesh,
+            spatial_axis=self.spatial_axis,
         )(q, k, motion, bias, probs)
         cat = jnp.concatenate([inp, motion, motion_global], axis=-1)
         net = SepConvGRU(self.hidden_dim, self.dtype)(net, cat)

@@ -125,22 +125,25 @@ def flash_attend(
     """Pallas online-softmax attention for (B, N, D) tensors.
 
     Handles N not a multiple of the tile sizes by zero-padding and
-    masking padded keys to -inf before the softmax.
+    masking padded keys to -inf before the softmax. q and k/v may have
+    different token counts (rectangular attention — the row-sharded
+    GSPMD path gives each device a q row-block against the full k/v).
     """
     b, n, d = q.shape
+    n_kv = k.shape[1]
     dv = v.shape[-1]
     scale_val = d**-0.5 if scale is None else scale
 
     n_q = _round_up(n, bq)
-    n_k = _round_up(n, bk)
+    n_k = _round_up(n_kv, bk)
     qp = jnp.pad(q, ((0, 0), (0, n_q - n), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, n_k - n), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, n_k - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_k - n_kv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_k - n_kv), (0, 0)))
 
     grid = (b, n_q // bq, n_k // bk)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale_val, n_valid=n, bk=bk
+            _flash_kernel, scale=scale_val, n_valid=n_kv, bk=bk
         ),
         grid=grid,
         in_specs=[
@@ -285,9 +288,10 @@ def _flash_probs_impl(
     interpret: bool = False,
 ) -> jax.Array:
     b, n, d = q.shape
-    n_k = _round_up(n, bk)
+    n_kv = k.shape[1]  # may differ from n under row sharding
+    n_k = _round_up(n_kv, bk)
     qs = q.reshape(b, h, w, d)
-    kp = jnp.pad(k, ((0, 0), (0, n_k - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_k - n_kv), (0, 0)))
     nj = n_k // bk
 
     q_spec = pl.BlockSpec(
@@ -304,7 +308,7 @@ def _flash_probs_impl(
     )
     m, l = pl.pallas_call(
         functools.partial(
-            _probs_stats_kernel, scale=scale, n_valid=n, bk=bk
+            _probs_stats_kernel, scale=scale, n_valid=n_kv, bk=bk
         ),
         grid=(b, h, nj),
         in_specs=[q_spec, k_spec],
@@ -322,7 +326,7 @@ def _flash_probs_impl(
 
     out = pl.pallas_call(
         functools.partial(
-            _probs_write_kernel, scale=scale, n_valid=n, bk=bk
+            _probs_write_kernel, scale=scale, n_valid=n_kv, bk=bk
         ),
         grid=(b, h, nj),
         in_specs=[q_spec, k_spec, stat_spec, stat_spec],
@@ -338,7 +342,7 @@ def _flash_probs_impl(
         ),
         interpret=interpret,
     )(qs, kp, m, l)
-    return out[..., :n]
+    return out[..., :n_kv]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -394,6 +398,112 @@ def _flash_probs_bwd(h, w, scale, bk, interpret, res, dp):
 flash_probs_spatial.defvjp(_flash_probs_fwd, _flash_probs_bwd)
 
 
+# ----------------------------------------------------------------------
+# GSPMD composition — shard_map partitioning of the flash kernels.
+#
+# pallas_call does not auto-partition under GSPMD, so a Pallas kernel
+# inside a sharded jit would otherwise force an all-gather of its
+# operands onto every device (or be unusable, as in round 2 where every
+# sharded path carried ``use_pallas=False``). The attention reduction
+# runs over KEYS, and GMA's k/v are tiny ((N, 128) — ~2 MB at KITTI
+# resolution), so the natural partition needs no cross-device softmax:
+# shard the QUERY rows over the mesh axis, replicate k/v, and run the
+# unmodified single-device kernel on each row block. The big tensors
+# (q, and above all the (B, H, W, N) probabilities / (B, N, Dv) output)
+# stay sharded end to end; the only ICI traffic is the k/v broadcast.
+# ----------------------------------------------------------------------
+
+
+def sharded_flash_probs_spatial(
+    q: jax.Array,
+    k: jax.Array,
+    h: int,
+    w: int,
+    scale: float = 1.0,
+    *,
+    mesh,
+    axis: str,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`flash_probs_spatial` with the query rows (and therefore
+    the (B, H, W, N) output) sharded over ``mesh[axis]`` via shard_map.
+
+    Rows are zero-padded to a multiple of the axis size (padded rows
+    produce finite garbage that is sliced off — softmax of an all-zero
+    score row is uniform, never NaN).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b, n, d = q.shape
+    size = mesh.shape[axis]
+    h_pad = _round_up(h, size)
+    qs = q.reshape(b, h, w, d)
+    if h_pad != h:
+        qs = jnp.pad(qs, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+
+    def local(qb, kf):
+        hl = qb.shape[1]
+        return _flash_probs_impl(
+            qb.reshape(b, hl * w, d), kf, hl, w, scale, bk, interpret
+        )
+
+    p = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )(qs, k)
+    return p[:, :h] if h_pad != h else p
+
+
+def sharded_flash_attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    *,
+    mesh,
+    axis: str,
+    bq: int = 256,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`flash_attend` with query tokens sharded over
+    ``mesh[axis]`` and k/v replicated (rectangular flash attention per
+    shard; no cross-device softmax — the reduction is over keys)."""
+    from jax.sharding import PartitionSpec as P
+
+    b, n, d = q.shape
+    size = mesh.shape[axis]
+    n_pad = _round_up(n, size)
+    scale_val = d**-0.5 if scale is None else scale
+    qp = (
+        jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+        if n_pad != n
+        else q
+    )
+
+    def local(qb, kf, vf):
+        return flash_attend(
+            qb, kf, vf, scale=scale_val, bq=bq, bk=bk, interpret=interpret
+        )
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),
+            P(None, None, None),
+            P(None, None, None),
+        ),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )(qp, k, v)
+    return out[:, :n] if n_pad != n else out
+
+
 def attention_probs_spatial(
     q: jax.Array,
     k: jax.Array,
@@ -404,6 +514,8 @@ def attention_probs_spatial(
     position_only: bool = False,
     store_dtype=None,
     use_pallas: bool | None = None,
+    mesh=None,
+    axis: str | None = None,
 ) -> jax.Array:
     """Materialize the attention probabilities directly in the
     (B, H, W, N) spatial layout the update loop consumes.
@@ -415,13 +527,14 @@ def attention_probs_spatial(
     consumer share one layout — no reshape of the big tensor exists in
     the graph. On TPU the content-only path uses the fused
     :func:`flash_probs_spatial` kernel (one write of the matrix
-    instead of XLA's three-pass f32 chain).
+    instead of XLA's three-pass f32 chain); with ``mesh``/``axis`` the
+    kernel runs row-sharded via shard_map
+    (:func:`sharded_flash_probs_spatial`) so the Pallas path composes
+    with GSPMD-sharded inference.
     """
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
-    # use_pallas=False forces the XLA path — required when the call
-    # sits inside a GSPMD-sharded computation (pallas_call does not
-    # auto-partition; see parallel/flow_sharding.py)
+    # use_pallas=False forces the XLA path (CPU tests / numerics refs)
     if (
         use_pallas is not False
         and bias is None
@@ -431,6 +544,10 @@ def attention_probs_spatial(
         from atdn_vslam_tpu.utils.platform import is_tpu
 
         if is_tpu():
+            if mesh is not None and axis is not None:
+                return sharded_flash_probs_spatial(
+                    q, k, h, w, scale, mesh=mesh, axis=axis
+                )
             return flash_probs_spatial(q, k, h, w, scale=scale)
     qs = q.reshape(q.shape[0], h, w, d)
     if position_only:
@@ -478,14 +595,18 @@ def attend(
     use_pallas: bool | None = None,
     bias: jax.Array | None = None,
     position_only: bool = False,
+    mesh=None,
+    axis: str | None = None,
 ) -> jax.Array:
     """Dispatch between the Pallas flash kernel and the XLA path.
 
     ``use_pallas=None`` (auto): flash on TPU when the token count makes
     the materialized similarity matrix prohibitive, XLA otherwise.
-    Positional-bias modes always take the XLA path (the flash kernel
-    carries no bias support; those modes are off in the reference
-    config, utils/gma_parameters.py:9-10).
+    With ``mesh``/``axis`` the flash kernel runs query-sharded via
+    shard_map (:func:`sharded_flash_attend`) so it composes with
+    GSPMD-sharded inference. Positional-bias modes always take the XLA
+    path (the flash kernel carries no bias support; those modes are
+    off in the reference config, utils/gma_parameters.py:9-10).
     """
     if bias is not None or position_only:
         return attend_reference(q, k, v, scale, bias, position_only)
@@ -494,5 +615,7 @@ def attend(
 
         use_pallas = is_tpu() and q.shape[-2] >= _FLASH_MIN_TOKENS
     if use_pallas:
+        if mesh is not None and axis is not None:
+            return sharded_flash_attend(q, k, v, scale, mesh=mesh, axis=axis)
         return flash_attend(q, k, v, scale)
     return attend_reference(q, k, v, scale)

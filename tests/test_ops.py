@@ -372,3 +372,106 @@ def test_flash_probs_spatial_gradients(rng):
     gq1, gk1 = jax.grad(loss_kernel, argnums=(0, 1))(q, k)
     np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# GSPMD composition of the Pallas kernels (shard_map over query rows)
+# ----------------------------------------------------------------------
+
+
+def _mesh8():
+    from atdn_vslam_tpu.config import MeshConfig
+    from atdn_vslam_tpu.parallel import make_mesh
+
+    return make_mesh(MeshConfig(data=8, model=1))
+
+
+def test_sharded_flash_probs_matches_unsharded(rng):
+    """shard_map-partitioned probs kernel (8-device CPU mesh, interpret
+    mode) == the XLA softmax, including h NOT divisible by the axis
+    size (row padding is sliced off)."""
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        sharded_flash_probs_spatial,
+    )
+
+    mesh = _mesh8()
+    h, w, d = 11, 8, 16  # 11 rows over 8 devices -> padded to 16
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    ref = attention_probs(q, k, scale=0.9)
+    got = sharded_flash_probs_spatial(
+        q, k, h, w, 0.9, mesh=mesh, axis="data", bk=32, interpret=True
+    )
+    assert got.shape == (1, h, w, n)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(1, n, n), np.asarray(ref), atol=1e-6
+    )
+
+
+def test_sharded_flash_probs_inside_sharded_jit(rng):
+    """The shard_map kernel composes with an enclosing GSPMD-sharded
+    jit (the sharded_flow_infer regime): row-sharded input, sharded
+    output, same values."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        sharded_flash_probs_spatial,
+    )
+
+    mesh = _mesh8()
+    h, w, d = 16, 8, 16
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+
+    fn = jax.jit(
+        lambda qs, kf: sharded_flash_probs_spatial(
+            qs.reshape(1, n, d), kf, h, w, 1.0,
+            mesh=mesh, axis="data", bk=32, interpret=True,
+        ),
+        in_shardings=(
+            NamedSharding(mesh, P(None, "data")),
+            NamedSharding(mesh, P()),
+        ),
+    )
+    got = fn(q, k)
+    ref = attention_probs(q.reshape(1, n, d), k, scale=1.0)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(1, n, n), np.asarray(ref), atol=1e-6
+    )
+
+
+def test_sharded_flash_attend_matches_reference(rng):
+    """shard_map-partitioned flash attention (rectangular per-shard
+    q x full k/v) == the XLA reference, N not divisible by 8."""
+    from atdn_vslam_tpu.ops.attention import sharded_flash_attend
+
+    mesh = _mesh8()
+    n, d, dv = 100, 32, 16
+    q = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, n, dv)).astype(np.float32))
+    ref = np.asarray(attend_reference(q, k, v))
+    got = np.asarray(
+        sharded_flash_attend(
+            q, k, v, mesh=mesh, axis="data", bq=32, bk=32, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_flash_attend_rectangular(rng):
+    """flash_attend with q tokens != k/v tokens (the per-shard shape
+    under row sharding) == the XLA reference."""
+    nq, nkv, d, dv = 40, 100, 32, 16
+    q = jnp.asarray(rng.normal(size=(1, nq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, nkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, nkv, dv)).astype(np.float32))
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * (d**-0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = np.asarray(jnp.einsum("bnm,bmd->bnd", p, v))
+    got = np.asarray(flash_attend(q, k, v, bq=32, bk=32, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
