@@ -56,6 +56,7 @@ class SlamRuntime:
         odometry_variables: Any,
         mapping_variables: Any | None = None,
         start_mode: str | None = None,
+        mesh: Any | None = None,
     ):
         self.config = config
         cfg = config.slam
@@ -86,7 +87,15 @@ class SlamRuntime:
             config.keyframes_path, "mapping_variables.msgpack"
         )
 
-        # jitted hot paths
+        # optional device mesh: the online mapping train loop and the
+        # keyframe embedding batches then shard over its "data" axis
+        # (the rest of the hot path is latency-bound batch-1)
+        self._mesh = mesh
+
+        # jitted hot paths. _encode carries no sharding annotations:
+        # shardings propagate from the argument, so the same jit serves
+        # the single-query relocalization (batch 1, unsharded) and the
+        # data-sharded embedding batches (_embed_keyframes).
         self._odometry_step = jax.jit(self._odometry_step_fn)
         self._encode = jax.jit(self._encode_fn)
         self._fnet = jax.jit(self._fnet_fn)
@@ -356,6 +365,7 @@ class SlamRuntime:
             save_fn=lambda s: self._save_map_vars(
                 {"params": s.params, "batch_stats": s.batch_stats}
             ),
+            mesh=self._mesh,
         )
         self._map_vars = {
             "params": state.params,
@@ -381,15 +391,27 @@ class SlamRuntime:
     def _embed_keyframes(self, batch: int = 8) -> None:
         codes = []
         n = len(self.keyframes)
+        if self._mesh is not None:
+            # batch must split over the data axis; repeat-padding the
+            # tail keeps ONE static shape (no per-tail recompile) and
+            # the pad rows are sliced off below
+            dsize = self._mesh.shape["data"]
+            batch = max((batch // dsize) * dsize, dsize)
         for start in range(0, n, batch):
+            count = min(start + batch, n) - start
             imgs = np.stack(
                 [
-                    self.keyframes.read_rgb(i)
-                    for i in range(start, min(start + batch, n))
+                    self.keyframes.read_rgb(start + min(i, count - 1))
+                    for i in range(batch)
                 ]
             ).astype(np.float32)
-            mu = self._encode(self._map_vars, jnp.asarray(imgs))
-            codes.append(np.asarray(mu).reshape(len(imgs), -1))
+            batch_arr = jnp.asarray(imgs)
+            if self._mesh is not None:
+                from atdn_vslam_tpu.parallel.mesh import shard_batch
+
+                (batch_arr,) = shard_batch(self._mesh, (batch_arr,))
+            mu = self._encode(self._map_vars, batch_arr)
+            codes.append(np.asarray(mu).reshape(batch, -1)[:count])
         self.keyframes.set_embeddings(np.concatenate(codes, axis=0))
 
     def refine_trajectory(

@@ -104,9 +104,19 @@ def init_state(
 
 
 def make_train_step(
-    model: MappingVAE, cfg: MappingTrainConfig, steps_total: int
+    model: MappingVAE,
+    cfg: MappingTrainConfig,
+    steps_total: int,
+    mesh=None,
+    donate: bool = True,
 ):
-    """step(state, rng, images_uint8_NHWC) -> (state, loss)."""
+    """step(state, rng, images_uint8_NHWC) -> (state, loss).
+
+    With ``mesh``, the image batch shards over the "data" axis and the
+    state replicates — the gradient all-reduce is GSPMD-inserted, the
+    same treatment the odometry/flow steps get (the reference's mapping
+    loop is single-GPU inside the runtime, neural_slam.py:305-352).
+    """
     tx = make_optimizer(cfg, steps_total)
 
     def step_fn(state: MappingTrainState, rng, images):
@@ -140,7 +150,17 @@ def make_train_step(
             loss,
         )
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    from atdn_vslam_tpu.parallel.mesh import batch_sharding, replicated
+
+    repl = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, batch_sharding(mesh)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
 
 
 def train_mapping(
@@ -149,22 +169,35 @@ def train_mapping(
     images: np.ndarray,
     log_fn=None,
     save_fn=None,
+    mesh=None,
 ) -> MappingTrainState:
     """Full map-building run over a keyframe image array
     (N, H, W, 3) uint8 (ref: neural_slam.py:305-352).
 
     :param save_fn: optional per-epoch checkpoint callback receiving the
         current state (ref saves the VAE weights every epoch,
-        neural_slam.py:347-348)."""
+        neural_slam.py:347-348).
+    :param mesh: optional device mesh; the batch then shards over the
+        "data" axis (rounded down to a multiple of it — falls back to
+        single-device when fewer keyframes than devices)."""
     n = len(images)
     batch = min(cfg.batch_size, n)
+    if mesh is not None:
+        dsize = mesh.shape["data"]
+        batch = (batch // dsize) * dsize
+        if batch == 0:
+            mesh, batch = None, min(cfg.batch_size, n)
     steps_per_epoch = max(n // batch, 1)
     steps_total = cfg.epochs * steps_per_epoch
 
     state = init_state(
         model, cfg, steps_total, jnp.zeros((batch, *images.shape[1:]))
     )
-    step = make_train_step(model, cfg, steps_total)
+    step = make_train_step(model, cfg, steps_total, mesh=mesh)
+    if mesh is not None:
+        from atdn_vslam_tpu.parallel.mesh import replicated, shard_batch
+
+        state = jax.device_put(state, replicated(mesh))
     rng = jax.random.key(cfg.seed)
     order_rng = np.random.default_rng(cfg.seed)
     for epoch in range(cfg.epochs):
@@ -173,7 +206,10 @@ def train_mapping(
         for i in range(steps_per_epoch):
             idx = order[i * batch : (i + 1) * batch]
             rng, sub = jax.random.split(rng)
-            state, loss = step(state, sub, jnp.asarray(images[idx]))
+            imgs = jnp.asarray(images[idx])
+            if mesh is not None:
+                (imgs,) = shard_batch(mesh, (imgs,))
+            state, loss = step(state, sub, imgs)
             epoch_loss += float(loss)
         if log_fn is not None:
             log_fn(epoch, epoch_loss / steps_per_epoch)
