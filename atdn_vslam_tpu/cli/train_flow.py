@@ -3,10 +3,23 @@
 RAFT-style training: gamma-decayed sequence loss, one-cycle LR,
 gradient clipping, EPE metrics — batch sharded over the device mesh.
 
+Checkpointing: ``--checkpoint-dir`` periodically saves the FULL Orbax
+train state (params + batch_stats + optimizer state + step); rerunning
+with the same directory resumes from the latest checkpoint mid-stage
+(exact schedule/optimizer continuation, unlike the reference's
+weights-only saves at GMA/train.py:166-171). ``--output`` still writes
+a weights-only msgpack for the converter/eval chain.
+
+Schedule note: the reference uses torch OneCycleLR
+(GMA/train.py:68-75); this trainer substitutes linear warmup + cosine
+decay with the same peak/span (see training/flow.py make_optimizer for
+why) — a documented training-recipe deviation.
+
 Usage:
   python -m atdn_vslam_tpu.cli.train_flow --dataset kitti \
       --root /data/kitti2015 --steps 1000 --batch-size 6 \
-      --crop 288 960 [--restore gma.msgpack] [--output gma_out.msgpack]
+      --crop 288 960 [--restore gma.msgpack] [--output gma_out.msgpack] \
+      [--checkpoint-dir ckpts/ --checkpoint-every 2500]
 """
 
 from __future__ import annotations
@@ -57,6 +70,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--restore", default=None)
     p.add_argument("--output", default="flow_trained.msgpack")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="Orbax full-state checkpoints (params + opt "
+                        "state + step); resumes from the latest one "
+                        "when rerun with the same directory")
+    p.add_argument("--checkpoint-every", type=int, default=2500)
     p.add_argument("--no-mesh", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize update steps on backward: "
@@ -138,11 +156,27 @@ def main(argv=None) -> int:
         )
         log("Restored from", args.restore)
 
+    start = 0
+    if args.checkpoint_dir:
+        from atdn_vslam_tpu.training.flow import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        latest = latest_checkpoint(args.checkpoint_dir)
+        if latest is not None:
+            state = load_checkpoint(latest, state)
+            start = int(jax.device_get(state.step))
+            log(f"Resumed from {latest} at step {start}")
+
     mesh = None if args.no_mesh else make_mesh()
     step = make_train_step(model, tx, args.gamma, mesh=mesh)
 
-    rng = np.random.default_rng(args.seed)
-    for i in range(args.steps):
+    for i in range(start, args.steps):
+        # per-step seeded sampling: the data order is a pure function
+        # of (seed, step), so a resumed run sees the exact batches the
+        # uninterrupted run would have
+        rng = np.random.default_rng((args.seed, i))
         idx = rng.integers(0, len(dataset), args.batch_size)
         ims1, ims2, flows, valids = [], [], [], []
         for j in idx:
@@ -160,6 +194,16 @@ def main(argv=None) -> int:
             log(f"step {i}: loss {float(metrics['loss']):.4f} "
                 f"epe {float(metrics['epe']):.3f} "
                 f"1px {float(metrics['1px']):.3f}")
+        if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
+            from atdn_vslam_tpu.training.flow import (
+                checkpoint_path,
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                checkpoint_path(args.checkpoint_dir, i + 1), state
+            )
+            log(f"Checkpointed full train state at step {i + 1}")
 
     from flax.serialization import msgpack_serialize
 
