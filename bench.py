@@ -119,17 +119,57 @@ def main() -> int:
         best = min(best, (time.perf_counter() - t0) / N_FRAMES)
 
     fps = 1.0 / best
-    print(
-        json.dumps(
-            {
-                "metric": "slam_odometry_frames_per_second_376x1232",
-                "value": round(fps, 2),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
+
+    # MFU: analytic FLOPs of the timed computation (XLA cost analysis
+    # of the compiled window) over the platform's peak — the perf claim
+    # carries its own denominator (VERDICT round-2 #9).
+    flops_per_frame = mfu = None
+    try:
+        ca = (
+            run_window.lower(flow_vars, odo_vars, frames)
+            .compile()
+            .cost_analysis()
         )
-    )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_frame = float(ca["flops"]) / N_FRAMES
+        peak = _peak_flops(jax.devices()[0])
+        if peak:
+            mfu = flops_per_frame * fps / peak
+    except Exception:
+        pass  # cost analysis is best-effort; fps is the metric
+
+    out = {
+        "metric": "slam_odometry_frames_per_second_376x1232",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "ms_per_frame": round(best * 1e3, 3),
+    }
+    if flops_per_frame is not None:
+        out["gflop_per_frame"] = round(flops_per_frame / 1e9, 1)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
     return 0
+
+
+def _peak_flops(device) -> float | None:
+    """Peak dense-matmul FLOP/s for the device (bf16 for TPUs — the
+    MXU path the hot kernels use; public spec-sheet numbers)."""
+    kind = getattr(device, "device_kind", "").lower()
+    peaks = {
+        "v5 lite": 197e12,  # v5e: 197 TFLOP/s bf16
+        "v5e": 197e12,
+        "v5p": 459e12,
+        "v4": 275e12,
+        "v6 lite": 918e12,  # v6e (Trillium)
+        "v6e": 918e12,
+    }
+    for key, val in peaks.items():
+        if key in kind:
+            return val
+    return None
 
 
 if __name__ == "__main__":
