@@ -403,18 +403,26 @@ class FlowAugmentor:
     # -- photometric ------------------------------------------------
 
     def _jitter_once(self, im: np.ndarray, draws) -> np.ndarray:
-        b, c, s, h = draws
-        im = im * b
-        mean = im.mean(axis=(0, 1), keepdims=True)
-        im = (im - mean) * c + mean
-        gray = im.mean(axis=-1, keepdims=True)
-        im = gray + s * (im - gray)
-        im = np.clip(im, 0, 255)
-        if abs(h) > 1e-8:
-            hsv = _rgb_to_hsv(im)
-            hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
-            im = _hsv_to_rgb(hsv)
-        return np.clip(im, 0, 255)
+        """Apply brightness/contrast/saturation/hue in the drawn random
+        ORDER — torchvision ColorJitter permutes the four ops per draw
+        (ref: GMA/core/utils/augmentor.py:32 uses ColorJitter), so a
+        fixed order would be a small distributional deviation."""
+        b, c, s, h, order = draws
+        for op in order:
+            if op == 0:
+                im = im * b
+            elif op == 1:
+                mean = im.mean(axis=(0, 1), keepdims=True)
+                im = (im - mean) * c + mean
+            elif op == 2:
+                gray = im.mean(axis=-1, keepdims=True)
+                im = gray + s * (im - gray)
+            elif abs(h) > 1e-8:
+                hsv = _rgb_to_hsv(np.clip(im, 0, 255))
+                hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
+                im = _hsv_to_rgb(hsv)
+            im = np.clip(im, 0, 255)
+        return im
 
     def _color_draws(self):
         return (
@@ -422,6 +430,7 @@ class FlowAugmentor:
             self.rng.uniform(1 - self.contrast, 1 + self.contrast),
             self.rng.uniform(1 - self.saturation, 1 + self.saturation),
             self.rng.uniform(-self.hue, self.hue),
+            self.rng.permutation(4),
         )
 
     def color_transform(self, im1, im2):

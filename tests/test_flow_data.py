@@ -122,6 +122,36 @@ def test_augmentor_scale_rescales_flow():
     np.testing.assert_allclose(af, scale, rtol=1e-5)
 
 
+def test_jitter_applies_ops_in_drawn_order(rng):
+    """torchvision ColorJitter permutes brightness/contrast/saturation/
+    hue per draw (GMA/core/utils/augmentor.py:32); the augmentor must
+    honor the drawn order, and different orders must differ (the ops do
+    not commute)."""
+    aug = FlowAugmentor((32, 40), seed=0)
+    im = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    b, c, s, h = 1.3, 0.7, 1.2, 0.1
+
+    fwd = aug._jitter_once(im.copy(), (b, c, s, h, [0, 1, 2, 3]))
+    # manual composition in the same order
+    ref = np.clip(im * b, 0, 255)
+    mean = ref.mean(axis=(0, 1), keepdims=True)
+    ref = np.clip((ref - mean) * c + mean, 0, 255)
+    gray = ref.mean(axis=-1, keepdims=True)
+    ref = np.clip(gray + s * (ref - gray), 0, 255)
+    from atdn_vslam_tpu.data.flow_datasets import _hsv_to_rgb, _rgb_to_hsv
+    hsv = _rgb_to_hsv(ref)
+    hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
+    ref = np.clip(_hsv_to_rgb(hsv), 0, 255)
+    np.testing.assert_allclose(fwd, ref, atol=1e-3)
+
+    rev = aug._jitter_once(im.copy(), (b, c, s, h, [3, 2, 1, 0]))
+    assert np.abs(fwd - rev).max() > 1.0  # order matters
+
+    # the per-draw permutation is actually drawn
+    orders = {tuple(aug._color_draws()[4]) for _ in range(50)}
+    assert len(orders) > 5
+
+
 def test_eraser_uses_mean_color(rng):
     aug = FlowAugmentor(
         (H, W), do_flip=False, photometric=False, spatial_aug_prob=0.0,
