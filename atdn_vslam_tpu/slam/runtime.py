@@ -477,6 +477,115 @@ class SlamRuntime:
         self.keyframes.save()
         return opt, float(mse)
 
+    # -- automatic loop closure ------------------------------------
+    #
+    # The runtime already owns everything a loop-closure frontend
+    # needs: VAE embeddings for place recognition (keyframes.nearest
+    # machinery) and the flow+odometry frontend for the relative-pose
+    # measurement (_relocalize, ref: neural_slam.py:355-399). These
+    # methods combine them so trajectories are refined with NO
+    # caller-supplied edges — a capability the reference lacks (its
+    # relocalization never feeds a backend).
+
+    def detect_closure_pairs(
+        self,
+        min_gap: int = 10,
+        max_dist: float | None = None,
+        max_candidates: int = 5,
+    ) -> list[tuple[int, int, float]]:
+        """Embedding-space loop-closure candidates ``(i, j, dist)``
+        with ``j <= i - min_gap`` (revisits of an earlier place).
+
+        :param min_gap: minimum keyframe-index separation — nearby
+            frames always look similar and are already chained by
+            odometry edges.
+        :param max_dist: embedding-distance acceptance threshold.
+            ``None`` uses the median consecutive-keyframe distance: a
+            genuine revisit should look at least as similar as two
+            adjacent frames typically do.
+        :param max_candidates: cap, best-first; near-duplicate pairs
+            (within ``min_gap//2`` of a selected one) are suppressed.
+        """
+        emb = self.keyframes.embeddings
+        if emb is None:
+            raise RuntimeError(
+                "no embeddings — run end_odometry (mapping) first"
+            )
+        n = len(self.keyframes)
+        emb = emb[:n].reshape(n, -1)
+        if n < min_gap + 2:
+            return []
+        if max_dist is None:
+            consecutive = np.linalg.norm(emb[1:] - emb[:-1], axis=1)
+            max_dist = float(np.median(consecutive))
+
+        candidates: list[tuple[int, int, float]] = []
+        for i in range(min_gap, n):
+            d = np.linalg.norm(emb[: i - min_gap + 1] - emb[i], axis=1)
+            j = int(np.argmin(d))
+            if d[j] <= max_dist:
+                candidates.append((i, j, float(d[j])))
+        candidates.sort(key=lambda c: c[2])
+
+        selected: list[tuple[int, int, float]] = []
+        for i, j, dist in candidates:
+            if any(
+                abs(i - si) <= min_gap // 2 and abs(j - sj) <= min_gap // 2
+                for si, sj, _ in selected
+            ):
+                continue
+            selected.append((i, j, dist))
+            if len(selected) >= max_candidates:
+                break
+        return selected
+
+    def measure_closure(self, i: int, j: int) -> np.ndarray:
+        """Measure keyframe j's pose in keyframe i's frame with the
+        flow+odometry frontend (fresh LSTM carry — a single-pair
+        relative pose, the same regime as relocalization)."""
+        im_i = self._prepare(self.keyframes.read_rgb(i))
+        im_j = self._prepare(self.keyframes.read_rgb(j))
+        carry = self.odometry_model.init_carry(1)
+        mat, _flow, _carry, _fmap = self._odometry_step(
+            self._flow_vars, self._odo_vars, im_i, im_j, carry
+        )
+        return np.asarray(mat, np.float64)
+
+    def detect_closures(
+        self,
+        min_gap: int = 10,
+        max_dist: float | None = None,
+        max_candidates: int = 5,
+    ) -> list[tuple[int, int, np.ndarray]]:
+        """Detected closure edges ``(i, j, T_ij)`` ready for
+        :meth:`refine_trajectory` (measurement direction matches its
+        odometry edges: ``T_ij = P_i^-1 P_j``)."""
+        return [
+            (i, j, self.measure_closure(i, j))
+            for i, j, _ in self.detect_closure_pairs(
+                min_gap, max_dist, max_candidates
+            )
+        ]
+
+    def close_loops(
+        self,
+        min_gap: int = 10,
+        max_dist: float | None = None,
+        max_candidates: int = 5,
+        iterations: int = 10,
+        closure_weight: float = 1.0,
+    ) -> tuple[np.ndarray, float] | None:
+        """Detect loop closures and refine the trajectory in one call.
+
+        :return: (optimized poses, mean residual), or None when no
+            closure candidate passes the acceptance threshold."""
+        closures = self.detect_closures(min_gap, max_dist, max_candidates)
+        if not closures:
+            return None
+        return self.refine_trajectory(
+            closures, iterations=iterations, closure_weight=closure_weight
+        )
+
     def _relocalize(self, image: np.ndarray):
         """Query -> (initial pose, refined pose, distances)
         (ref: neural_slam.py:355-399)."""

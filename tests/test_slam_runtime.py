@@ -288,6 +288,91 @@ def test_keyframe_store_async_writes(tmp_path):
     assert sync.read_rgb(0).shape == (2, 2, 3)
 
 
+def test_detect_closures_full_lifecycle(tmp_path, model_vars):
+    """A synthetic loop (last frame revisits the first) is detected
+    from the VAE embeddings and closed end-to-end with NO
+    caller-provided edges (VERDICT round-2 item 5)."""
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam.start_odometry()
+    fs = frames(7, seed=3)
+    fs.append(fs[0].copy())  # revisit -> identical view of frame 0
+    for f in fs:
+        slam(f)
+    assert len(slam) == 8
+    slam.end_odometry()  # mapping -> embeddings
+
+    with pytest.raises(RuntimeError, match="embeddings"):
+        SlamRuntime(tiny_config(tmp_path / "x"), flow_vars, odo_vars) \
+            .detect_closure_pairs()
+
+    pairs = slam.detect_closure_pairs(min_gap=4)
+    assert pairs, "revisit of frame 0 not detected"
+    i, j, dist = pairs[0]
+    assert (i, j) == (7, 0)
+    # identical images -> (near-)identical embeddings
+    assert dist < 1e-3
+
+    result = slam.close_loops(min_gap=4)
+    assert result is not None
+    opt, mse = result
+    assert np.isfinite(mse) and opt.shape == (8, 4, 4)
+    np.testing.assert_allclose(slam.keyframes.poses[:8], opt)
+
+
+def test_close_loops_improves_drifted_trajectory(tmp_path, model_vars):
+    """With an exact revisit, the auto-detected closure pulls a
+    drifted chain back toward ground truth — no caller edges. GT is
+    constructed consistent with the frontend's own closure
+    measurement, so the only error source is the injected drift."""
+    from atdn_vslam_tpu.geometry.pose_graph import se3_exp
+
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    rng = np.random.default_rng(11)
+    n = 8
+    base = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    for i in range(n):
+        rgb = base if i in (0, n - 1) else rng.integers(
+            0, 255, (H, W, 3), dtype=np.uint8
+        )
+        slam.keyframes.append(rgb, np.eye(4))
+
+    # embeddings: consecutive spacing 10, revisit distance 0 -> only
+    # (n-1, 0) passes the default (median-consecutive) threshold
+    emb = np.zeros((n, 4), np.float32)
+    emb[:, 0] = 10.0 * np.arange(n)
+    emb[n - 1] = emb[0]
+    slam.keyframes.set_embeddings(emb)
+
+    # GT loop consistent with the frontend's measurement for the
+    # revisit pair; stored chain = GT + accumulated drift
+    t_hat = slam.measure_closure(n - 1, 0)
+    gt = np.stack([np.eye(4)] * n)
+    gt[n - 1] = np.linalg.inv(t_hat)  # P_{n-1}^-1 P_0 == t_hat
+    noise = np.asarray(
+        se3_exp(np.asarray(rng.normal(size=(n - 1, 6)), np.float32) * 0.05)
+    )
+    noisy = [gt[0]]
+    for i in range(n - 1):
+        rel = np.linalg.inv(gt[i]) @ gt[i + 1] @ noise[i]
+        noisy.append(noisy[-1] @ rel)
+    slam.keyframes.poses[:n] = np.stack(noisy)
+
+    err_before = np.linalg.norm(
+        slam.keyframes.poses[:n, :3, 3] - gt[:, :3, 3], axis=1
+    ).mean()
+    result = slam.close_loops(min_gap=4, closure_weight=4.0)
+    assert result is not None
+    opt, _mse = result
+    err_after = np.linalg.norm(
+        opt[:, :3, 3] - gt[:, :3, 3], axis=1
+    ).mean()
+    assert err_after < err_before
+
+
 def test_refine_trajectory_with_closure(tmp_path, model_vars):
     """A loop closure redistributes accumulated drift along the
     keyframe chain (new capability; geometry/pose_graph.py)."""
