@@ -71,18 +71,22 @@ class _UpdateStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, inp, q, k, bias, probs, pyramid,
-                 mask_only: bool = False):
+                 gru_static=None, mask_only: bool = False,
+                 gru_static_only: bool = False):
         net, coords1 = carry
-        if mask_only:
-            # test mode epilogue: upsample-mask head on the final
+        if mask_only or gru_static_only:
+            # out-of-scan calls on the same module instance (shared
+            # params): test-mode upsample-mask epilogue on the final
             # hidden state (ref computes this inside every iteration,
-            # GMA/core/update.py:135-138; only the last is consumed).
+            # GMA/core/update.py:135-138; only the last is consumed),
+            # and the SepConvGRU static-contribution hoist prologue.
             return GMAUpdateBlock(
                 self.hidden_dim, self.heads, self.dtype,
                 self.use_pallas, self.position_only,
                 spatial_mesh=self.spatial_mesh,
                 spatial_axis=self.spatial_axis,
-            )(net, None, None, None, None, None, mask_only=True)
+            )(net, inp, None, None, None, None,
+              mask_only=mask_only, gru_static_only=gru_static_only)
         if self.upsample_in_scan:
             # training recipe parity: the reference detaches coords1 at
             # the top of every iteration (GMA/core/network.py:108), so
@@ -116,6 +120,7 @@ class _UpdateStep(nn.Module):
             # the mask_only call above) — the scanned steps skip the
             # mask-head convs entirely (static flag).
             compute_mask=self.upsample_in_scan,
+            gru_static=gru_static,
         )
         coords1 = coords1 + delta_flow.astype(jnp.float32)
 
@@ -272,11 +277,18 @@ class RAFTGMA(nn.Module):
         )
         carry = (net, coords1)
 
+        # SepConvGRU contributions of the iteration-invariant context
+        # features, hoisted out of the scan (exact — conv linearity;
+        # saves ~25% of the GRU conv FLOPs per iteration)
+        gru_static = step(
+            carry, inp, q, k, bias, probs, pyramid, gru_static_only=True
+        )
+
         # all ``iters`` steps run inside ONE scan; in test mode the
         # mask head then runs once on the final carry (same module
         # instance -> shared params, flax function-scan pattern).
-        def body(mdl, carry, inp, q, k, bias, probs, pyramid):
-            return mdl(carry, inp, q, k, bias, probs, pyramid)
+        def body(mdl, carry, inp, q, k, bias, probs, pyramid, gru_static):
+            return mdl(carry, inp, q, k, bias, probs, pyramid, gru_static)
 
         if self.remat:
             # prevent_cse=False: inside lax.scan the loop already
@@ -288,11 +300,14 @@ class RAFTGMA(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast, nn.broadcast, nn.broadcast),
+                     nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
             out_axes=0,
             length=self.iters,
         )
-        carry, outs = scan(step, carry, inp, q, k, bias, probs, pyramid)
+        carry, outs = scan(
+            step, carry, inp, q, k, bias, probs, pyramid, gru_static
+        )
         net, coords1 = carry
 
         flow_low = coords1 - coords0

@@ -248,3 +248,25 @@ def test_remat_matches_values_and_gradients(rng):
         cos = float(a @ b / (na * nb))
         assert cos > 0.999, (p0, cos)
         assert 0.97 < na / nb < 1.03, (p0, na, nb)
+
+
+def test_gru_static_hoist_exact(rng):
+    """The hoisted static-input contributions make SepConvGRU output
+    EXACTLY equal to the fused-conv path (conv linearity in f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from atdn_vslam_tpu.models.flow.update import SepConvGRU
+
+    gru = SepConvGRU(hidden_dim=16, static_dim=8, x_dim=24)
+    h = jnp.asarray(rng.normal(size=(1, 6, 9, 16)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(1, 6, 9, 24)).astype(np.float32))
+    variables = gru.init(jax.random.key(0), h, x)
+
+    ref = gru.apply(variables, h, x)
+    static = gru.apply(variables, None, x[..., :8], compute_static=True)
+    assert len(static) == 4
+    got = gru.apply(variables, h, x, static=static)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6
+    )
