@@ -72,8 +72,16 @@ def main(argv: list[str] | None = None) -> int:
         variables = jax.jit(model.init)(jax.random.key(0), sample, sample)
         log("WARNING: random-init flow net (no checkpoint given)")
 
+    # fnet runs ONCE per unique frame: the B pairs of a batch share
+    # B+1 frames, so encoding im1 and im2 batches separately would
+    # double the feature-encoder cost (measured ~10% of the batched
+    # pipeline; tools/profiling/exp_batched.py). The previous batch's
+    # last feature map is carried forward like the frame itself.
+    encode = jax.jit(lambda v, ims: model.apply(v, ims, encode_only=True))
     fwd = jax.jit(
-        lambda v, a, b: model.apply(v, a, b, test_mode=True)[1]
+        lambda v, a, b, f1, f2: model.apply(
+            v, a, b, test_mode=True, fmap1=f1, fmap2=f2
+        )[1]
     )
 
     def load_resized(i):
@@ -89,9 +97,11 @@ def main(argv: list[str] | None = None) -> int:
         n_pairs, h, w,
     )
     t0 = time.time()
-    # frame i is im2 of pair i-1 and im1 of pair i: decode each frame
-    # once by carrying the previous batch's last frame forward
+    # frame i is im2 of pair i-1 and im1 of pair i: decode AND encode
+    # each frame once by carrying the previous batch's last frame (and
+    # its feature map) forward
     prev_frame = load_resized(0)
+    prev_fmap = encode(variables, jnp.asarray(prev_frame)[None])
     for start in range(0, n_pairs, args.batch):
         count = min(args.batch, n_pairs - start)
         frames = [prev_frame] + [
@@ -104,7 +114,13 @@ def main(argv: list[str] | None = None) -> int:
             pad = args.batch - count
             im1 = np.concatenate([im1, np.zeros((pad, h, w, 3), np.float32)])
             im2 = np.concatenate([im2, np.zeros((pad, h, w, 3), np.float32)])
-        flows = np.asarray(fwd(variables, jnp.asarray(im1), jnp.asarray(im2)))
+        fmaps_new = encode(variables, jnp.asarray(im2))
+        fmap1 = jnp.concatenate([prev_fmap, fmaps_new[:-1]], axis=0)
+        flows = np.asarray(
+            fwd(variables, jnp.asarray(im1), jnp.asarray(im2),
+                fmap1, fmaps_new)
+        )
+        prev_fmap = fmaps_new[count - 1 : count]
         for j in range(count):
             writer.append(flows[j])
         done = start + count

@@ -198,3 +198,71 @@ def test_train_flow_cli_stage_kitti(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert out.exists()
+
+
+def test_precompute_flows_cli(tmp_path):
+    """Precompute writes the native fp16 cache and the batched
+    fnet-reuse path (fmap1/fmap2 shifted one batch) matches pairwise
+    inference — including the short final batch."""
+    cv2 = pytest.importorskip("cv2")
+    import yaml
+    import jax
+    import jax.numpy as jnp
+
+    from atdn_vslam_tpu.cli.precompute_flows import main
+    from atdn_vslam_tpu.data.flow_cache import FlowCache
+    from atdn_vslam_tpu.models.flow import RAFTGMA
+
+    root = tmp_path / "kitti"
+    ds = root / "dataset"
+    imdir = ds / "sequences" / "07" / "image_2"
+    imdir.mkdir(parents=True)
+    (ds / "poses").mkdir()
+    rng = np.random.default_rng(9)
+    n = 8  # 7 pairs with --batch 3 -> final batch is short
+    np.savetxt(
+        ds / "poses" / "07.txt",
+        np.stack([np.eye(4)[:3].reshape(12)] * n),
+    )
+    frames = rng.integers(0, 255, (n, H, W, 3)).astype(np.uint8)
+    for i, f in enumerate(frames):
+        cv2.imwrite(
+            str(imdir / f"{i:06d}.png"),
+            cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
+        )
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump({
+            "slam": {"image_height": H, "image_width": W},
+            "flow": {"iters": 2, "mixed_precision": False,
+                     "use_pallas_attention": False},
+        })
+    )
+    rc = main([
+        "--config", str(cfg_path), "--data-path", str(root),
+        "--sequence", "07", "--batch", "3",
+    ])
+    assert rc == 0
+
+    cache = FlowCache(str(ds), "07")
+    assert len(cache) == n - 1
+
+    # pairwise reference with the same deterministic random init
+    model = RAFTGMA(iters=2, dtype=jnp.float32, use_pallas=False)
+    sample = jnp.zeros((3, H, W, 3))
+    variables = jax.jit(model.init)(jax.random.key(0), sample, sample)
+    fwd = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, test_mode=True)[1]
+    )
+    for i in range(n - 1):
+        ref = np.asarray(
+            fwd(
+                variables,
+                jnp.asarray(frames[i], jnp.float32)[None],
+                jnp.asarray(frames[i + 1], jnp.float32)[None],
+            )
+        )[0]
+        got = cache.read(i, 1)[0]
+        # fp16 cache quantization + batched-vs-pairwise fusion noise
+        np.testing.assert_allclose(got, ref, atol=5e-2)
