@@ -65,6 +65,11 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1.25e-4)
     p.add_argument("--wd", type=float, default=1e-5)
     p.add_argument("--clip", type=float, default=1.0)
+    p.add_argument("--schedule", choices=["warmcos", "onecycle"],
+                   default="warmcos",
+                   help="onecycle = the reference's exact linear-anneal "
+                        "OneCycleLR shape (GMA/train.py:68-75); warmcos "
+                        "= warmup + cosine decay (TPU default)")
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--gamma", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
@@ -140,7 +145,9 @@ def main(argv=None) -> int:
         use_pallas=None if on_tpu else False,
         remat=args.remat,
     )
-    tx = make_optimizer(args.lr, args.steps, args.wd, args.clip)
+    tx = make_optimizer(
+        args.lr, args.steps, args.wd, args.clip, schedule=args.schedule
+    )
     h, w = args.crop
     state = init_state(
         model, jnp.zeros((args.batch_size, h, w, 3)), tx, args.seed

@@ -76,30 +76,61 @@ def sequence_loss(
     return loss, metrics
 
 
+def onecycle_schedule(lr: float, steps_total: int, pct_start: float = 0.05):
+    """torch OneCycleLR's exact piecewise-linear shape and milestones
+    (anneal_strategy='linear', div_factor=25, final_div_factor=1e4 —
+    the reference's arguments, GMA/train.py:68-75): phase 1 warms
+    lr/25 -> lr over [0, pct_start*total - 1]; phase 2 anneals
+    lr -> lr/25e4 over (m1, total - 1]; torch-equality-tested."""
+    initial = lr / 25.0
+    min_lr = initial / 1e4
+    m1 = max(pct_start * steps_total - 1.0, 1.0)
+    m2 = max(float(steps_total - 1), m1 + 1.0)
+
+    def sched(step):
+        s = jnp.asarray(step, jnp.float32)
+        lr1 = initial + (s / m1) * (lr - initial)
+        lr2 = lr + ((s - m1) / (m2 - m1)) * (min_lr - lr)
+        return jnp.clip(jnp.where(s <= m1, lr1, lr2), min_lr, lr)
+
+    return sched
+
+
 def make_optimizer(
     lr: float = 1.25e-4,
     steps_total: int = 100_000,
     wd: float = 1e-5,
     clip: float = 1.0,
     pct_start: float = 0.05,
+    schedule: str = "warmcos",
 ):
-    """One-cycle-style schedule + global-norm clip
-    (ref: GMA/train.py:68-75 uses torch OneCycleLR). Implemented as
-    linear warmup to the peak followed by cosine decay —
-    optax's literal one-cycle schedule divides by zero when
-    ``pct_start * steps`` floors to a duplicate boundary (tiny runs /
-    tests), and warmup+cosine is the standard TPU equivalent."""
+    """LR schedule + global-norm clip (ref: GMA/train.py:68-75 uses
+    torch OneCycleLR with pct_start=0.05, cycle_momentum=False,
+    anneal_strategy='linear').
+
+    ``schedule="onecycle"`` reproduces that exact shape: linear
+    warmup from lr/25 over pct_start of the run, then LINEAR anneal
+    to lr/1e4 (torch's div_factor=25 / final_div_factor=1e4
+    defaults). ``"warmcos"`` (default) substitutes cosine decay for
+    the anneal — the standard TPU recipe, and robust for tiny
+    runs/tests where optax's one-cycle boundary arithmetic would
+    divide by zero."""
     warmup = max(1, int(pct_start * steps_total))
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=lr / 25.0,
-        peak_value=lr,
-        warmup_steps=warmup,
-        decay_steps=max(steps_total, warmup + 1),
-        end_value=lr / 1e4,
-    )
+    if schedule == "onecycle":
+        sched = onecycle_schedule(lr, steps_total, pct_start)
+    elif schedule == "warmcos":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 25.0,
+            peak_value=lr,
+            warmup_steps=warmup,
+            decay_steps=max(steps_total, warmup + 1),
+            end_value=lr / 1e4,
+        )
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
     return optax.chain(
         optax.clip_by_global_norm(clip),
-        optax.adamw(schedule, weight_decay=wd, eps=1e-8),
+        optax.adamw(sched, weight_decay=wd, eps=1e-8),
     )
 
 

@@ -84,3 +84,39 @@ def test_flow_train_step_sharded(rng):
     )
     state, metrics = step(state, *batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_onecycle_schedule_matches_torch():
+    """The --schedule onecycle shape equals torch OneCycleLR with the
+    reference's arguments (GMA/train.py:68-75: pct_start=0.05,
+    cycle_momentum=False, anneal_strategy='linear')."""
+    import torch
+
+    from atdn_vslam_tpu.training.flow import make_optimizer
+
+    lr, total = 1.25e-4, 400
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, lr, total_steps=total, pct_start=0.05,
+        cycle_momentum=False, anneal_strategy="linear",
+    )
+    torch_lrs = []
+    for _ in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+
+    import jax.numpy as jnp
+
+    from atdn_vslam_tpu.training.flow import onecycle_schedule
+
+    sched_fn = onecycle_schedule(lr, total)
+    ours = np.asarray(sched_fn(jnp.arange(total)))
+    # make_optimizer("onecycle") must construct without error too
+    assert make_optimizer(lr, total, schedule="onecycle") is not None
+    # f32 schedule vs torch f64: absolute tolerance floors the tail,
+    # where lr2 ~ 5e-10 comes from cancelling 1.25e-4-scale terms
+    np.testing.assert_allclose(
+        ours, np.asarray(torch_lrs), rtol=1e-4, atol=1e-8
+    )
