@@ -156,6 +156,13 @@ class RAFTGMA(nn.Module):
     #: disabled in sharded inference (parallel/flow_sharding.py).
     spatial_mesh: Any = None
     spatial_axis: str | None = None
+    #: unroll factor for the update scan (lax.scan unroll): >1 stamps
+    #: that many iterations per loop step so XLA can schedule across
+    #: iteration boundaries; iters (full unroll) also makes
+    #: ``cost_analysis`` count every iteration (a rolled loop body is
+    #: counted once regardless of trip count — bench.py relies on this
+    #: for its analytic FLOP/frame figure).
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(
@@ -304,6 +311,7 @@ class RAFTGMA(nn.Module):
                      nn.broadcast),
             out_axes=0,
             length=self.iters,
+            unroll=self.scan_unroll,
         )
         carry, outs = scan(
             step, carry, inp, q, k, bias, probs, pyramid, gru_static

@@ -120,19 +120,46 @@ def main() -> int:
 
     fps = 1.0 / best
 
-    # MFU: analytic FLOPs of the timed computation (XLA cost analysis
-    # of the compiled window) over the platform's peak — the perf claim
-    # carries its own denominator (VERDICT round-2 #9).
+    # MFU: analytic FLOPs of one streamed frame over the platform's
+    # peak — the perf claim carries its own denominator (VERDICT
+    # round-2 #9). XLA's cost analysis counts a rolled loop body ONCE
+    # regardless of trip count (measured: iters=1 and iters=12 graphs
+    # both report ~331 GF), so the frame graph is compiled with the
+    # update scan fully UNROLLED; the parameter tree is unchanged, the
+    # graph is only lowered/compiled for counting, never executed.
     flops_per_frame = mfu = None
     try:
+        flow_counted = RAFTGMA(
+            iters=12,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            use_pallas=None if on_tpu else False,
+            scan_unroll=12,
+        )
+
+        def one_frame(flow_vars, odo_vars, im1, im2, fmap_prev, carry):
+            """Exactly one iteration of run_window's scan body."""
+            (_, flow), fmap2 = flow_counted.apply(
+                flow_vars, im1[None], im2[None], test_mode=True,
+                fmap1=fmap_prev, return_features=True,
+            )
+            (rot, tr), carry = odo_model.apply(odo_vars, flow[:, None], carry)
+            return pose_to_matrix(rot[0, 0], tr[0, 0]), fmap2, carry
+
+        fmap0 = jax.jit(
+            lambda v, im: flow_model.apply(v, im, encode_only=True)
+        )(flow_vars, frames[:1])
         ca = (
-            run_window.lower(flow_vars, odo_vars, frames)
+            jax.jit(one_frame)
+            .lower(
+                flow_vars, odo_vars, frames[0], frames[1], fmap0,
+                odo_model.init_carry(1),
+            )
             .compile()
             .cost_analysis()
         )
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_frame = float(ca["flops"]) / N_FRAMES
+        flops_per_frame = float(ca["flops"])
         peak = _peak_flops(jax.devices()[0])
         if peak:
             mfu = flops_per_frame * fps / peak

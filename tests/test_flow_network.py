@@ -270,3 +270,18 @@ def test_gru_static_hoist_exact(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-6
     )
+
+
+def test_scan_unroll_matches_rolled(model_and_vars):
+    """scan_unroll only changes the compilation schedule (and makes
+    cost_analysis count every iteration — bench.py relies on it); the
+    values must be identical to the rolled loop."""
+    model, vars_ = model_and_vars
+    rng = np.random.default_rng(7)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    unrolled = RAFTGMA(iters=3, use_pallas=False, scan_unroll=3)
+    ref_low, ref_up = model.apply(vars_, im1, im2, test_mode=True)
+    got_low, got_up = unrolled.apply(vars_, im1, im2, test_mode=True)
+    np.testing.assert_array_equal(np.asarray(ref_low), np.asarray(got_low))
+    np.testing.assert_array_equal(np.asarray(ref_up), np.asarray(got_up))
