@@ -1,0 +1,110 @@
+"""AOT serving-export round trip: serialize the streaming SLAM step
+with jax.export, reload it from bytes, and check it reproduces the
+live computation (see atdn_vslam_tpu/serving.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atdn_vslam_tpu.models.flow import RAFTGMA
+from atdn_vslam_tpu.models.odometry import ATDNVO
+from atdn_vslam_tpu import serving
+
+H, W = 96, 192  # smallest size the ATDNVO encoder stack supports
+
+
+@pytest.fixture(scope="module")
+def models_and_vars():
+    flow_model = RAFTGMA(iters=2, use_pallas=False)
+    odo_model = ATDNVO()
+    im = jnp.zeros((1, H, W, 3))
+    flow_vars = flow_model.init(jax.random.key(0), im, im)
+    odo_vars = odo_model.init(
+        jax.random.key(1), jnp.zeros((1, 1, H, W, 2)),
+        odo_model.init_carry(1),
+    )
+    return flow_model, odo_model, flow_vars, odo_vars
+
+
+def _frame_inputs(flow_model, flow_vars):
+    rng = np.random.default_rng(3)
+    im1 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+    fmap = serving.encode_frame(flow_model, flow_vars, im1)
+    return im1, im2, fmap
+
+
+def test_export_roundtrip_baked(models_and_vars, tmp_path):
+    flow_model, odo_model, flow_vars, odo_vars = models_and_vars
+    im1, im2, fmap = _frame_inputs(flow_model, flow_vars)
+    carry = odo_model.init_carry(1)
+    pose = jnp.eye(4)
+
+    live = serving.make_stream_step(
+        flow_model, odo_model, (flow_vars, odo_vars)
+    )
+    want = live(im1, im2, fmap, carry, pose)
+
+    exported = serving.export_stream_step(
+        flow_model, odo_model, flow_vars, odo_vars, H, W
+    )
+    path = tmp_path / "slam_step.jaxexport"
+    serving.save_stream_step(exported, path)
+    assert path.stat().st_size > 1000
+
+    loaded = serving.load_exported(path)
+    got = loaded.call(im1, im2, fmap, carry, pose)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(w, np.float32), np.asarray(g, np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+
+
+def test_export_weights_as_arguments(models_and_vars):
+    flow_model, odo_model, flow_vars, odo_vars = models_and_vars
+    im1, im2, fmap = _frame_inputs(flow_model, flow_vars)
+    carry = odo_model.init_carry(1)
+    pose = jnp.eye(4)
+
+    exported = serving.export_stream_step(
+        flow_model, odo_model, flow_vars, odo_vars, H, W,
+        bake_weights=False,
+    )
+    reloaded = jax.export.deserialize(exported.serialize())
+    got = reloaded.call(flow_vars, odo_vars, im1, im2, fmap, carry, pose)
+    live = serving.make_stream_step(flow_model, odo_model)
+    want = live(flow_vars, odo_vars, im1, im2, fmap, carry, pose)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_streaming_chain_through_artifact(models_and_vars, tmp_path):
+    """Three frames streamed through the loaded artifact: the fmap and
+    LSTM carries thread frame-to-frame and the pose accumulates."""
+    flow_model, odo_model, flow_vars, odo_vars = models_and_vars
+    rng = np.random.default_rng(9)
+    frames = [
+        jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+        for _ in range(4)
+    ]
+    exported = serving.export_stream_step(
+        flow_model, odo_model, flow_vars, odo_vars, H, W
+    )
+    path = tmp_path / "step.bin"
+    serving.save_stream_step(exported, path)
+    step = serving.load_exported(path)
+
+    fmap = serving.encode_frame(flow_model, flow_vars, frames[0])
+    carry = odo_model.init_carry(1)
+    pose = jnp.eye(4)
+    for im1, im2 in zip(frames[:-1], frames[1:]):
+        pose, fmap, carry, flow = step.call(im1, im2, fmap, carry, pose)
+    pose = np.asarray(pose)
+    assert np.isfinite(pose).all()
+    # a valid SE(3): R orthonormal, last row [0,0,0,1]
+    r = pose[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-6)

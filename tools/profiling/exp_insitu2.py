@@ -79,9 +79,19 @@ def main():
         base = jnp.zeros((b, h1, w1, nl * span * span), jnp.float32)
         return base + (jnp.sum(coords) + s) * 1e-30
 
-    def stub_gru(self, h, x):
+    def stub_gru(self, h, x, static=None, compute_static=False):
         # keep deps on h and x, skip all four convs
-        return h + jnp.sum(x) * jnp.asarray(1e-30, h.dtype)
+        if compute_static:
+            # hoist-prologue call: return 4 scalar placeholders
+            z = jnp.sum(x) * jnp.asarray(1e-30, x.dtype)
+            return (z, z, z, z)
+        dep = jnp.sum(x) * jnp.asarray(1e-30, h.dtype)
+        if static is not None:
+            for s in static:
+                dep = dep + jnp.sum(s).astype(h.dtype) * jnp.asarray(
+                    1e-30, h.dtype
+                )
+        return h + dep
 
     def stub_motenc(self, flow, corr):
         b, h, w, _ = flow.shape
