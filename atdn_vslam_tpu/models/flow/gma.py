@@ -149,7 +149,12 @@ class Aggregate(nn.Module):
             # probabilities materialized once outside the update scan
             # (iteration-invariant; ops/attention.py rationale); may be
             # spatially pre-shaped (BH, x, y, m) for loop layout
-            # stability
+            # stability, with exact-zero key-dim padding (keep_padded).
+            # The P@V read stays an XLA einsum — it auto-partitions
+            # under GSPMD (no shard_map needed) and measured FASTER
+            # than the Pallas streaming kernel (apply_attention_probs
+            # docstring); the probs MATERIALIZATION is where the Pallas
+            # kernel wins.
             out = apply_attention_probs(probs, v)
             if out.ndim == 4:
                 out = out.reshape(out.shape[0], -1, out.shape[-1])

@@ -276,7 +276,8 @@ def _probs_write_kernel(q_ref, k_ref, m_ref, l_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "scale", "bk", "interpret")
+    jax.jit,
+    static_argnames=("h", "w", "scale", "bk", "interpret", "keep_padded"),
 )
 def _flash_probs_impl(
     q: jax.Array,
@@ -286,6 +287,7 @@ def _flash_probs_impl(
     scale: float = 1.0,
     bk: int = 1024,
     interpret: bool = False,
+    keep_padded: bool = False,
 ) -> jax.Array:
     b, n, d = q.shape
     n_kv = k.shape[1]  # may differ from n under row sharding
@@ -342,10 +344,16 @@ def _flash_probs_impl(
         ),
         interpret=interpret,
     )(qs, kp, m, l)
+    if keep_padded:
+        # padded key columns hold EXACT zeros (their scores are masked
+        # to -inf before the exp), so consumers contracting against
+        # zero-padded values get bit-identical results — and skipping
+        # the slice avoids a full ~105 MB relayout copy of the matrix
+        return out
     return out[..., :n_kv]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def flash_probs_spatial(
     q: jax.Array,
     k: jax.Array,
@@ -354,6 +362,7 @@ def flash_probs_spatial(
     scale: float = 1.0,
     bk: int = 1024,
     interpret: bool = False,
+    keep_padded: bool = False,
 ) -> jax.Array:
     """Materialize softmax(scale * q k^T) directly as (B, H, W, N)
     bf16/f32 — one fused MXU+VPU pipeline instead of XLA's dot ->
@@ -370,21 +379,29 @@ def flash_probs_spatial(
 
     :param q: (B, N, D) pre-scaled queries (N = h*w).
     :param k: (B, N, D) keys.
-    :return: (B, h, w, N) probabilities in q's dtype.
+    :param keep_padded: return the key dim padded to a multiple of
+        ``bk`` — padded columns are EXACT zeros (scores masked to
+        -inf), so downstream contractions are unchanged and the
+        ~105 MB slice copy disappears from the graph.
+    :return: (B, h, w, N) probabilities in q's dtype (key dim padded
+        to a ``bk`` multiple under ``keep_padded``).
     """
-    return _flash_probs_impl(q, k, h, w, scale, bk, interpret)
+    return _flash_probs_impl(q, k, h, w, scale, bk, interpret, keep_padded)
 
 
-def _flash_probs_fwd(q, k, h, w, scale, bk, interpret):
-    p = _flash_probs_impl(q, k, h, w, scale, bk, interpret)
+def _flash_probs_fwd(q, k, h, w, scale, bk, interpret, keep_padded):
+    p = _flash_probs_impl(q, k, h, w, scale, bk, interpret, keep_padded)
     return p, (q, k, p)
 
 
-def _flash_probs_bwd(h, w, scale, bk, interpret, res, dp):
+def _flash_probs_bwd(h, w, scale, bk, interpret, keep_padded, res, dp):
     q, k, p = res
     b, n, d = q.shape
-    pf = p.astype(jnp.float32).reshape(b, n, n)
-    dpf = dp.astype(jnp.float32).reshape(b, n, n)
+    n_kv = k.shape[1]
+    # under keep_padded the trailing columns are constant zeros: slice
+    # them (and their cotangents) off before the softmax backward
+    pf = p.astype(jnp.float32)[..., :n_kv].reshape(b, n, n_kv)
+    dpf = dp.astype(jnp.float32)[..., :n_kv].reshape(b, n, n_kv)
     ds = pf * (dpf - jnp.sum(dpf * pf, axis=-1, keepdims=True))
     dq = jnp.einsum(
         "bnm,bmd->bnd", ds, k.astype(jnp.float32)
@@ -425,6 +442,7 @@ def sharded_flash_probs_spatial(
     axis: str,
     bk: int = 1024,
     interpret: bool = False,
+    keep_padded: bool = False,
 ) -> jax.Array:
     """:func:`flash_probs_spatial` with the query rows (and therefore
     the (B, H, W, N) output) sharded over ``mesh[axis]`` via shard_map.
@@ -445,7 +463,8 @@ def sharded_flash_probs_spatial(
     def local(qb, kf):
         hl = qb.shape[1]
         return _flash_probs_impl(
-            qb.reshape(b, hl * w, d), kf, hl, w, scale, bk, interpret
+            qb.reshape(b, hl * w, d), kf, hl, w, scale, bk, interpret,
+            keep_padded,
         )
 
     p = jax.shard_map(
@@ -504,6 +523,44 @@ def sharded_flash_attend(
     return out[:, :n] if n_pad != n else out
 
 
+def sharded_flash_apply_probs(
+    probs: jax.Array,
+    v: jax.Array,
+    *,
+    mesh,
+    axis: str,
+    hb: int = 8,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`flash_apply_probs` with the spatial probs rows sharded
+    over ``mesh[axis]`` and v replicated — the contraction is over
+    keys, so each device multiplies its row block independently."""
+    from jax.sharding import PartitionSpec as P
+
+    b, h, w, n = probs.shape
+    size = mesh.shape[axis]
+    h_pad = _round_up(h, size)
+    pp = (
+        jnp.pad(probs, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+        if h_pad != h
+        else probs
+    )
+
+    def local(pb, vf):
+        # the custom-vjp wrapper, so gradients flow per-shard too
+        return flash_apply_probs(pb, vf, hb, bk, interpret)
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )(pp, v.astype(probs.dtype))
+    return out[:, :h] if h_pad != h else out
+
+
 def attention_probs_spatial(
     q: jax.Array,
     k: jax.Array,
@@ -544,11 +601,17 @@ def attention_probs_spatial(
         from atdn_vslam_tpu.utils.platform import is_tpu
 
         if is_tpu():
+            # keep_padded: the trailing zero columns ride through the
+            # update scan unchanged and the fused apply kernel consumes
+            # them directly — no 105 MB slice/pad copy anywhere
             if mesh is not None and axis is not None:
                 return sharded_flash_probs_spatial(
-                    q, k, h, w, scale, mesh=mesh, axis=axis
+                    q, k, h, w, scale, mesh=mesh, axis=axis,
+                    keep_padded=True,
                 )
-            return flash_probs_spatial(q, k, h, w, scale=scale)
+            return flash_probs_spatial(
+                q, k, h, w, scale=scale, keep_padded=True
+            )
     qs = q.reshape(q.shape[0], h, w, d)
     if position_only:
         if bias is None:
@@ -566,7 +629,147 @@ def attention_probs_spatial(
     return p.astype(store_dtype or q.dtype)
 
 
-def apply_attention_probs(probs: jax.Array, v: jax.Array) -> jax.Array:
+def _apply_probs_kernel(p_ref, v_ref, o_ref, acc_scr, *, hb: int):
+    """One (row-block, key-block) step of out = probs @ v.
+
+    probs block: (1, hb, W, bk); v block: (1, bk, dv). Accumulates
+    float32 in VMEM scratch; writes the (1, hb, W, dv) output block on
+    the last key block. Padded key columns hold exact zeros (the probs
+    writer masks scores to -inf there), so no in-kernel masking is
+    needed; ragged row blocks are handled by Pallas OOB-write masking.
+    """
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    pb = p_ref[0]  # (hb, W, bk)
+    vb = v_ref[0]  # (bk, dv)
+    # (hb, W, bk) x (bk, dv) -> (hb, W, dv), f32 accumulation on MXU
+    acc_scr[:] += jax.lax.dot_general(
+        pb, vb, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hb", "bk", "interpret")
+)
+def _flash_apply_probs_impl(
+    probs: jax.Array,
+    v: jax.Array,
+    hb: int = 8,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas streaming out = probs @ v for spatial (B, H, W, N) probs.
+
+    The XLA einsum for this contraction measured ~52% of the HBM
+    roofline on a v5e (0.27 ms/iter at KITTI resolution against a
+    0.13 ms probs-stream floor); this kernel streams the ~105 MB
+    probabilities through VMEM in (hb x W x bk) tiles with the value
+    matrix resident per key block — the per-iteration aggregation read
+    at full bandwidth.
+    """
+    b, h, w, n = probs.shape
+    n_v = v.shape[1]
+    dv = v.shape[-1]
+    n_k = _round_up(n, bk)
+    h_p = _round_up(h, hb)
+    # key-dim padding: probs pad columns must be ZERO so they add
+    # nothing (v pad rows are then free to be zeros too). The
+    # production path hands probs already padded with exact zeros
+    # (flash_probs_spatial keep_padded) so only the tiny v pad runs.
+    pp = probs
+    if n_k != n:
+        pp = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, n_k - n)))
+    vp = v if n_k == n_v else jnp.pad(v, ((0, 0), (0, n_k - n_v), (0, 0)))
+
+    grid = (b, h_p // hb, n_k // bk)
+    out = pl.pallas_call(
+        functools.partial(_apply_probs_kernel, hb=hb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, w, bk), lambda b_, i, j: (b_, i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, dv), lambda b_, i, j: (b_, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, w, dv), lambda b_, i, j: (b_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h_p, w, dv), v.dtype),
+        scratch_shapes=[pltpu.VMEM((hb, w, dv), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h_p * w * n_k * dv,
+            bytes_accessed=(
+                pp.dtype.itemsize * b * h_p * w * n_k
+                + v.dtype.itemsize * b * n_k * dv * (h_p // hb)
+                + v.dtype.itemsize * b * h_p * w * dv
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pp, vp)
+    return out[:, :h] if h_p != h else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flash_apply_probs(
+    probs: jax.Array,
+    v: jax.Array,
+    hb: int = 8,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """out = probs @ v via the Pallas streaming kernel (spatial probs).
+
+    Differentiable through a custom VJP (``pallas_call`` has no
+    autodiff rule): dv = P^T dout, dP = dout v^T via XLA einsums — the
+    same contractions XLA autodiff would emit for the einsum path.
+    """
+    return _flash_apply_probs_impl(probs, v, hb, bk, interpret)
+
+
+def _flash_apply_probs_fwd(probs, v, hb, bk, interpret):
+    out = _flash_apply_probs_impl(probs, v, hb, bk, interpret)
+    return out, (probs, v)
+
+
+def _flash_apply_probs_bwd(hb, bk, interpret, res, dout):
+    probs, v = res
+    b, h, w, n = probs.shape
+    n_v = v.shape[1]
+    df = dout.astype(jnp.float32)
+    dv = jnp.einsum(
+        "bxym,bxyd->bmd", probs[..., :n_v].astype(jnp.float32), df
+    ).astype(v.dtype)
+    dp = jnp.einsum(
+        "bxyd,bmd->bxym", df, v.astype(jnp.float32)
+    ).astype(probs.dtype)
+    if n != n_v:
+        # padded probs columns are constants (exact zeros): zero grad
+        dp = jnp.pad(dp, ((0, 0), (0, 0), (0, 0), (0, n - n_v)))
+    return dp, dv
+
+
+flash_apply_probs.defvjp(_flash_apply_probs_fwd, _flash_apply_probs_bwd)
+
+
+def apply_attention_probs(
+    probs: jax.Array, v: jax.Array, use_pallas: bool | None = None
+) -> jax.Array:
     """out = probs @ v with float32 accumulation (the per-iteration
     cost once the probabilities are materialized).
 
@@ -575,8 +778,26 @@ def apply_attention_probs(probs: jax.Array, v: jax.Array) -> jax.Array:
     NHWC convs, and passing the (N, N) matrix into the update scan
     makes XLA re-tile all ~105 MB of it EVERY iteration (measured
     0.285 ms/iter at KITTI resolution). Pre-shaping once outside the
-    loop makes the loop operand layout-stable."""
+    loop makes the loop operand layout-stable.
+
+    ``use_pallas=True`` forces the Pallas streaming kernel
+    (:func:`flash_apply_probs`) for spatial probs. It is NOT the
+    default: measured on a v5e at KITTI resolution the kernel runs at
+    ~114 GB/s vs the einsum's ~170 (microbench) and regresses the full
+    streaming window 24.5 -> 26.0 ms/frame — XLA's einsum schedule for
+    this contraction beats the hand pipeline. Kept for
+    experimentation/other-shape use.
+
+    The spatial probs key dim may EXCEED v's token count: trailing
+    columns are exact-zero padding from ``keep_padded`` probs
+    materialization, and v is zero-extended to match (contributes
+    nothing)."""
     if probs.ndim == 4:
+        if use_pallas is True:
+            return flash_apply_probs(probs, v.astype(probs.dtype))
+        n, n_v = probs.shape[-1], v.shape[1]
+        if n != n_v:
+            v = jnp.pad(v, ((0, 0), (0, n - n_v), (0, 0)))
         return jnp.einsum(
             "bxym,bmd->bxyd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,

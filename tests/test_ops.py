@@ -475,3 +475,91 @@ def test_flash_attend_rectangular(rng):
     ref = np.asarray(jnp.einsum("bnm,bmd->bnd", p, v))
     got = np.asarray(flash_attend(q, k, v, bq=32, bk=32, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_flash_apply_probs_matches_einsum(rng):
+    """Fused streaming P@V kernel (interpret mode) == the XLA einsum,
+    including ragged row blocks and key padding, plus the exact-zero
+    keep_padded probs roundtrip."""
+    from atdn_vslam_tpu.ops.attention import (
+        _flash_apply_probs_impl,
+        apply_attention_probs,
+        attention_probs,
+        flash_probs_spatial,
+    )
+
+    h, w, d, dv = 7, 9, 16, 8  # h=7 ragged vs hb=4; n=63 ragged vs bk=32
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, n, dv)).astype(np.float32))
+
+    # keep_padded probs: padded key columns are EXACT zeros
+    p_pad = flash_probs_spatial(
+        q, k, h, w, scale=1.0, bk=32, interpret=True, keep_padded=True
+    )
+    assert p_pad.shape == (1, h, w, 64)
+    assert float(jnp.max(jnp.abs(p_pad[..., n:]))) == 0.0
+
+    ref_p = attention_probs(q, k, scale=1.0)
+    ref = np.einsum("bnm,bmd->bnd", np.asarray(ref_p), np.asarray(v))
+    ref = ref.reshape(1, h, w, dv)
+
+    got = _flash_apply_probs_impl(p_pad, v, hb=4, bk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+    # XLA fallback consumes keep_padded probs too (v zero-extension)
+    got_x = apply_attention_probs(p_pad, v, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got_x), ref, atol=2e-5)
+
+
+def test_flash_apply_probs_gradients(rng):
+    """custom-VJP backward of the fused apply kernel == autodiff of
+    the einsum, including padded probs columns (zero cotangent)."""
+    from atdn_vslam_tpu.ops.attention import flash_apply_probs
+
+    h, w, dv = 4, 6, 8
+    n = h * w
+    n_pad = 32  # probs carry keep_padded columns
+    probs = jnp.asarray(
+        rng.uniform(0, 1, (1, h, w, n_pad)).astype(np.float32)
+    )
+    probs = probs.at[..., n:].set(0.0)
+    v = jnp.asarray(rng.normal(size=(1, n, dv)).astype(np.float32))
+
+    def loss_kernel(p, v):
+        out = flash_apply_probs(p, v, 2, 16, True)
+        return jnp.sum(out**2)
+
+    def loss_xla(p, v):
+        vp = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
+        out = jnp.einsum("bxym,bmd->bxyd", p, vp)
+        return jnp.sum(out**2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(probs, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(probs, v)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
+                               atol=1e-5)
+
+
+def test_sharded_flash_apply_probs_matches_unsharded(rng):
+    """shard_map-partitioned apply kernel (8-device CPU mesh, interpret
+    mode) == the XLA einsum, with h NOT divisible by the axis size."""
+    from atdn_vslam_tpu.ops.attention import sharded_flash_apply_probs
+
+    mesh = _mesh8()
+    h, w, dv = 11, 8, 16  # 11 rows over 8 devices -> padded to 16
+    n = h * w
+    probs = jnp.asarray(
+        rng.uniform(0, 1, (1, h, w, n)).astype(np.float32)
+    )
+    v = jnp.asarray(rng.normal(size=(1, n, dv)).astype(np.float32))
+    ref = np.einsum(
+        "bxym,bmd->bxyd", np.asarray(probs), np.asarray(v)
+    )
+    got = sharded_flash_apply_probs(
+        probs, v, mesh=mesh, axis="data", hb=2, bk=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)

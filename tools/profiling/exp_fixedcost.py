@@ -1,0 +1,144 @@
+"""In-situ bisection of the FIXED (per-frame, iteration-independent)
+cost of the streaming flow window: stub each fixed-stage component out
+of the real 64-frame window and measure the drop. Complements
+exp_insitu2.py (which bisects the per-iteration components).
+
+Components: fnet (new-frame feature encode), cnet (context encode),
+probs (attention QK+softmax materialization), upsample (final mask head
++ convex upsample), pyramid (correlation pyramid build).
+
+Usage: exp_fixedcost.py [base|fnet|cnet|probs|upsample|pyramid|all]
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+import atdn_vslam_tpu.models.flow.network as net_mod
+import atdn_vslam_tpu.models.flow.extractor as ext_mod
+import atdn_vslam_tpu.ops.attention as attn_mod
+import atdn_vslam_tpu.ops.upsample as ups_mod
+import atdn_vslam_tpu.ops.corr_lookup as corr_mod
+from atdn_vslam_tpu.models.flow import RAFTGMA
+
+H = int(os.environ.get("INSITU_H", 376))
+W = int(os.environ.get("INSITU_W", 1232))
+N_FRAMES = int(os.environ.get("INSITU_FRAMES", 64))
+
+
+def bench(label, reps=3):
+    flow_model = RAFTGMA(iters=12, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (N_FRAMES + 1, H, W, 3)).astype(np.float32)
+    )
+    flow_vars = jax.jit(flow_model.init)(
+        jax.random.key(0), frames[:1], frames[1:2]
+    )
+
+    @jax.jit
+    def run_window(flow_vars, frames):
+        def step(carry, pair):
+            pose, fmap_prev = carry
+            im1, im2 = pair
+            (_, flow), fmap2 = flow_model.apply(
+                flow_vars, im1[None], im2[None], test_mode=True,
+                fmap1=fmap_prev, return_features=True)
+            pose = pose + jnp.sum(flow.astype(jnp.float32)) * 1e-30
+            return (pose, fmap2), None
+        pairs = (frames[:-1], frames[1:])
+        fmap0 = flow_model.apply(flow_vars, frames[:1], encode_only=True)
+        (pose, _), _ = jax.lax.scan(step, (jnp.float32(0), fmap0), pairs)
+        return pose
+
+    np.asarray(run_window(flow_vars, frames))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run_window(flow_vars, frames))
+        best = min(best, (time.perf_counter() - t0) / N_FRAMES)
+    print(f"{label}: {best*1e3:.2f} ms/frame ({1/best:.1f} fps)", flush=True)
+    return best
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    real_enc_call = ext_mod.BasicEncoder.__call__
+    real_probs = attn_mod.attention_probs_spatial
+    real_ups = ups_mod.convex_upsample
+    real_build = corr_mod.build_corr_pyramid
+    # network.py imported names directly: patch its module globals too
+    real_net_probs = net_mod.attention_probs_spatial
+    real_net_build = net_mod.build_corr_pyramid
+    real_net_ups = net_mod.convex_upsample
+
+    def stub_enc_call(self, x, train=False):
+        # keep the param tree by initializing normally; at apply time
+        # replace compute with a cheap projection that still depends on
+        # every input pixel (sum) so nothing upstream is dead
+        if self.is_initializing():
+            return real_enc_call(self, x, train)
+        b = x.shape[0]
+        h8, w8 = x.shape[1] // 8, x.shape[2] // 8
+        dep = jnp.sum(x).astype(self.dtype) * jnp.asarray(1e-30, self.dtype)
+        base = x[:, ::8, ::8, :1].astype(self.dtype)
+        out = jnp.zeros((b, h8, w8, self.output_dim), self.dtype)
+        return out + base * jnp.asarray(1e-30, self.dtype) + dep
+
+    def stub_probs(q, k, h, w, scale=1.0, bias=None, position_only=False,
+                   use_pallas=None, mesh=None, axis=None):
+        bh, n, d = q.shape
+        dep = (jnp.sum(q) + jnp.sum(k)).astype(jnp.bfloat16) * jnp.asarray(
+            1e-30, jnp.bfloat16
+        )
+        uniform = jnp.full((bh, h, w, n), 1.0 / n, jnp.bfloat16)
+        return uniform + dep
+
+    def stub_ups(flow, mask):
+        up = jax.image.resize(
+            flow, (flow.shape[0], flow.shape[1] * 8, flow.shape[2] * 8, 2),
+            "nearest",
+        )
+        return 8.0 * up + jnp.sum(mask) * 1e-30
+
+    def stub_build(fmap1, fmap2, num_levels=4, dtype=jnp.float32):
+        b, h1, w1, c = fmap1.shape
+        dep = (jnp.sum(fmap1) + jnp.sum(fmap2)).astype(jnp.float32) * 1e-30
+        out = []
+        hl, wl = fmap2.shape[1], fmap2.shape[2]
+        for level in range(num_levels):
+            vol = jnp.zeros((b, h1 * w1, hl, wl, 1), jnp.float32) + dep
+            out.append(vol.astype(dtype))
+            hl, wl = hl // 2, wl // 2
+        return out
+
+    if which in ("all", "base"):
+        bench("baseline (everything real)")
+    if which in ("all", "fnet"):
+        # fnet AND cnet share BasicEncoder.__call__ — this stubs both
+        ext_mod.BasicEncoder.__call__ = stub_enc_call
+        bench("BOTH encoders (fnet+cnet) stubbed")
+        ext_mod.BasicEncoder.__call__ = real_enc_call
+    if which in ("all", "probs"):
+        net_mod.attention_probs_spatial = stub_probs
+        bench("probs materialization stubbed")
+        net_mod.attention_probs_spatial = real_net_probs
+    if which in ("all", "upsample"):
+        net_mod.convex_upsample = stub_ups
+        bench("convex upsample stubbed")
+        net_mod.convex_upsample = real_net_ups
+    if which in ("all", "pyramid"):
+        net_mod.build_corr_pyramid = stub_build
+        bench("pyramid build stubbed")
+        net_mod.build_corr_pyramid = real_net_build
+
+
+if __name__ == "__main__":
+    main()
