@@ -157,6 +157,12 @@ class Aggregate(nn.Module):
             # kernel wins.
             out = apply_attention_probs(probs, v)
             if out.ndim == 4:
+                if out.shape[1] != h:
+                    # keep_padded probs also carry padded ROWS (write-
+                    # block multiple); the padded rows hold finite
+                    # garbage — slice the small output, never the
+                    # ~105 MB probs matrix
+                    out = out[:, :h]
                 out = out.reshape(out.shape[0], -1, out.shape[-1])
         else:
             # q is pre-scaled by AttentionQK -> scale=1 here

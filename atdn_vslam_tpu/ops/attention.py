@@ -110,6 +110,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+#: image rows per probs-write block (and the row-padding multiple of
+#: keep_padded probs output)
+_WRITE_HB = 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "bq", "bk", "interpret")
 )
@@ -231,8 +236,14 @@ def attention_probs(
 
 def _probs_stats_kernel(q_ref, k_ref, m_ref, l_ref, m_scr, l_scr,
                         *, scale: float, n_valid: int, bk: int):
-    """Row max / exp-sum over key blocks (online), one query-row block
-    per (b, i) grid cell."""
+    """Row max / exp-sum over key blocks (online), one TOKEN-MAJOR
+    query block (bm rows) per (b, i) grid cell.
+
+    Big token blocks matter: the first version used one grid cell per
+    image row (376 cells at KITTI resolution), which re-fetched every
+    k block once per row — ~100 MB of redundant k traffic and ~400
+    kernel dispatches per frame. Token-major (bm, d) blocks need no
+    spatial structure because the stats are per-query scalars."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -242,9 +253,9 @@ def _probs_stats_kernel(q_ref, k_ref, m_ref, l_ref, m_scr, l_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
 
     s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    ) * scale  # (bm, bk)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
     s = jnp.where(col < n_valid, s, NEG_INF)
 
@@ -257,22 +268,30 @@ def _probs_stats_kernel(q_ref, k_ref, m_ref, l_ref, m_scr, l_scr,
 
     @pl.when(j == nk - 1)
     def _finish():
-        m_ref[0, 0] = m_scr[:]
-        l_ref[0, 0] = l_scr[:]
+        m_ref[0] = m_scr[:]
+        l_ref[0] = l_scr[:]
 
 
 def _probs_write_kernel(q_ref, k_ref, m_ref, l_ref, o_ref,
-                        *, scale: float, n_valid: int, bk: int):
-    """Normalized probabilities for one (query-row, key) block pair."""
+                        *, scale: float, n_valid: int, bk: int,
+                        hb: int):
+    """Normalized probabilities for one (hb-row, key) block pair.
+
+    ``hb`` image rows per block (unrolled 2D dots — one per row)
+    instead of one: 8x fewer kernel dispatches and 8x less redundant
+    k-block traffic. Out-of-range key columns write exact zeros
+    (scores masked to -inf); ragged row/col edge blocks are handled by
+    Pallas OOB-write masking."""
     j = pl.program_id(2)
-    s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
-    s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - m_ref[0, 0]) / l_ref[0, 0]
-    o_ref[0, 0] = p.astype(o_ref.dtype)
+    for r in range(hb):
+        s = jax.lax.dot_general(
+            q_ref[0, r], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < n_valid, s, NEG_INF)
+        p = jnp.exp(s - m_ref[0, r]) / l_ref[0, r]
+        o_ref[0, r] = p.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -296,8 +315,77 @@ def _flash_probs_impl(
     kp = jnp.pad(k, ((0, 0), (0, n_k - n_kv), (0, 0)))
     nj = n_k // bk
 
+    # ---- pass 1: per-query softmax stats, token-major big blocks ----
+    # bm ~1024 query rows per block: ~8x fewer kernel dispatches and
+    # ~50x less redundant k traffic than one-image-row blocks (the k
+    # block stream repeats once per QUERY block).
+    bm = min(_round_up(n, 8), 1024)
+    n_q = _round_up(n, bm)
+    qp = jnp.pad(q, ((0, 0), (0, n_q - n), (0, 0))) if n_q != n else q
+    m, l = pl.pallas_call(
+        functools.partial(
+            _probs_stats_kernel, scale=scale, n_valid=n_kv, bk=bk
+        ),
+        grid=(b, n_q // bm, nj),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bm, d), lambda b_, i, j: (b_, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d), lambda b_, i, j: (b_, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, bm, 1), lambda b_, i, j: (b_, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bm, 1), lambda b_, i, j: (b_, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_q, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp)
+    # spatial view for the write pass (29 KB, free relayout), with the
+    # image rows padded to an hb multiple (hb rows per write block)
+    hb = _WRITE_HB
+    h_sp = _round_up(h, hb)
+    m = m[:, :n].reshape(b, h, w, 1)
+    l = l[:, :n].reshape(b, h, w, 1)
+    if h_sp != h:
+        pad_rows = ((0, 0), (0, h_sp - h), (0, 0), (0, 0))
+        qs = jnp.pad(qs, pad_rows)
+        m = jnp.pad(m, pad_rows)
+        # l=0 would divide by zero in padded rows; any positive value
+        # gives finite garbage that is sliced off
+        l = jnp.pad(l, pad_rows, constant_values=1.0)
+
+    # keep_padded: columns pad only to the 128-lane tile (NOT the bk
+    # grid multiple — at KITTI resolution that is 7296 vs 8192 columns,
+    # 11% less matrix to stream every update iteration). Edge blocks
+    # are written masked; the key operand is padded to full grid
+    # coverage (reads beyond n_valid are masked to zero probability).
+    if keep_padded:
+        n_pad = _round_up(n_kv, 128)
+        njj = -(-n_pad // bk)  # ceil: grid blocks covering n_pad
+    else:
+        n_pad, njj = n_k, nj
+    if njj * bk > kp.shape[1]:
+        kp = jnp.pad(kp, ((0, 0), (0, njj * bk - kp.shape[1]), (0, 0)))
+
     q_spec = pl.BlockSpec(
-        (1, 1, w, d), lambda b_, i, j: (b_, i, 0, 0),
+        (1, hb, w, d), lambda b_, i, j: (b_, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
     k_spec = pl.BlockSpec(
@@ -305,38 +393,22 @@ def _flash_probs_impl(
         memory_space=pltpu.VMEM,
     )
     stat_spec = pl.BlockSpec(
-        (1, 1, w, 1), lambda b_, i, j: (b_, i, 0, 0),
+        (1, hb, w, 1), lambda b_, i, j: (b_, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    m, l = pl.pallas_call(
-        functools.partial(
-            _probs_stats_kernel, scale=scale, n_valid=n_kv, bk=bk
-        ),
-        grid=(b, h, nj),
-        in_specs=[q_spec, k_spec],
-        out_specs=(stat_spec, stat_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((w, 1), jnp.float32),
-            pltpu.VMEM((w, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qs, kp)
 
     out = pl.pallas_call(
         functools.partial(
-            _probs_write_kernel, scale=scale, n_valid=n_kv, bk=bk
+            _probs_write_kernel, scale=scale, n_valid=n_kv, bk=bk,
+            hb=hb,
         ),
-        grid=(b, h, nj),
+        grid=(b, h_sp // hb, njj),
         in_specs=[q_spec, k_spec, stat_spec, stat_spec],
         out_specs=pl.BlockSpec(
-            (1, 1, w, bk), lambda b_, i, j: (b_, i, 0, j),
+            (1, hb, w, bk), lambda b_, i, j: (b_, i, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, n_k), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_sp, w, n_pad), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * n_k * d,
             bytes_accessed=2 * b * (n * d + n_k * d) + 2 * b * h * w * n_k,
@@ -348,9 +420,11 @@ def _flash_probs_impl(
         # padded key columns hold EXACT zeros (their scores are masked
         # to -inf before the exp), so consumers contracting against
         # zero-padded values get bit-identical results — and skipping
-        # the slice avoids a full ~105 MB relayout copy of the matrix
+        # the slice avoids a full ~105 MB relayout copy of the matrix.
+        # Padded ROWS (h -> h_sp) hold finite garbage: consumers slice
+        # their (small) outputs back to h rows (Aggregate does).
         return out
-    return out[..., :n_kv]
+    return out[:, :h, :, :n_kv]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -398,10 +472,11 @@ def _flash_probs_bwd(h, w, scale, bk, interpret, keep_padded, res, dp):
     q, k, p = res
     b, n, d = q.shape
     n_kv = k.shape[1]
-    # under keep_padded the trailing columns are constant zeros: slice
-    # them (and their cotangents) off before the softmax backward
-    pf = p.astype(jnp.float32)[..., :n_kv].reshape(b, n, n_kv)
-    dpf = dp.astype(jnp.float32)[..., :n_kv].reshape(b, n, n_kv)
+    # under keep_padded the trailing rows/columns are padding (rows:
+    # finite garbage, columns: exact zeros): slice them (and their
+    # cotangents) off before the softmax backward
+    pf = p.astype(jnp.float32)[:, :h, :, :n_kv].reshape(b, n, n_kv)
+    dpf = dp.astype(jnp.float32)[:, :h, :, :n_kv].reshape(b, n, n_kv)
     ds = pf * (dpf - jnp.sum(dpf * pf, axis=-1, keepdims=True))
     dq = jnp.einsum(
         "bnm,bmd->bnd", ds, k.astype(jnp.float32)
@@ -455,7 +530,12 @@ def sharded_flash_probs_spatial(
 
     b, n, d = q.shape
     size = mesh.shape[axis]
-    h_pad = _round_up(h, size)
+    # pad rows to a (size * hb) multiple so each shard's row count is
+    # already a write-block multiple: the per-shard kernel then adds NO
+    # internal row padding, keeping all global padding rows contiguous
+    # at the END (consumers slice [:, :h]); per-shard padding would
+    # interleave garbage rows between shards
+    h_pad = _round_up(h, size * _WRITE_HB)
     qs = q.reshape(b, h, w, d)
     if h_pad != h:
         qs = jnp.pad(qs, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
@@ -474,6 +554,10 @@ def sharded_flash_probs_spatial(
         out_specs=P(None, axis, None, None),
         check_vma=False,
     )(qs, k)
+    if keep_padded:
+        # keep the (end-contiguous) padded rows: slicing here would
+        # copy the whole matrix — consumers slice their small outputs
+        return p
     return p[:, :h] if h_pad != h else p
 
 

@@ -494,23 +494,33 @@ def test_flash_apply_probs_matches_einsum(rng):
     k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(1, n, dv)).astype(np.float32))
 
-    # keep_padded probs: padded key columns are EXACT zeros
+    # keep_padded probs: key columns pad to the 128 tile with EXACT
+    # zeros; image rows pad to the write-block multiple (finite
+    # garbage, sliced off by consumers)
+    from atdn_vslam_tpu.ops.attention import _WRITE_HB
+
+    h_sp = -(-h // _WRITE_HB) * _WRITE_HB
     p_pad = flash_probs_spatial(
         q, k, h, w, scale=1.0, bk=32, interpret=True, keep_padded=True
     )
-    assert p_pad.shape == (1, h, w, 64)
-    assert float(jnp.max(jnp.abs(p_pad[..., n:]))) == 0.0
+    assert p_pad.shape == (1, h_sp, w, 128), p_pad.shape
+    assert float(jnp.max(jnp.abs(p_pad[:, :h, :, n:]))) == 0.0
+    assert bool(jnp.all(jnp.isfinite(p_pad)))
 
     ref_p = attention_probs(q, k, scale=1.0)
+    np.testing.assert_allclose(
+        np.asarray(p_pad[:, :h, :, :n]).reshape(1, n, n),
+        np.asarray(ref_p), atol=1e-5,
+    )
     ref = np.einsum("bnm,bmd->bnd", np.asarray(ref_p), np.asarray(v))
     ref = ref.reshape(1, h, w, dv)
 
     got = _flash_apply_probs_impl(p_pad, v, hb=4, bk=32, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[:, :h]), ref, atol=2e-5)
 
     # XLA fallback consumes keep_padded probs too (v zero-extension)
     got_x = apply_attention_probs(p_pad, v, use_pallas=False)
-    np.testing.assert_allclose(np.asarray(got_x), ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_x[:, :h]), ref, atol=2e-5)
 
 
 def test_flash_apply_probs_gradients(rng):
@@ -563,3 +573,31 @@ def test_sharded_flash_apply_probs_matches_unsharded(rng):
         probs, v, mesh=mesh, axis="data", hb=2, bk=32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def test_flash_probs_keep_padded_gradients(rng):
+    """Gradients through keep_padded probs (padded rows AND columns in
+    the residual) == the XLA softmax autodiff."""
+    from atdn_vslam_tpu.ops.attention import (
+        attention_probs,
+        flash_probs_spatial,
+    )
+
+    h, w, d = 5, 6, 8  # rows pad 5 -> 8, cols 30 -> 128
+    n = h * w
+    q = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32))
+
+    def loss_kernel(q, k):
+        p = flash_probs_spatial(q, k, h, w, 0.7, 16, True, True)
+        return jnp.sum(p[:, :h, :, :n] ** 2)
+
+    def loss_xla(q, k):
+        return jnp.sum(attention_probs(q, k, scale=0.7) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(q, k)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(q, k)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
+                               atol=1e-5)

@@ -94,12 +94,19 @@ def main():
 
     def stub_probs(q, k, h, w, scale=1.0, bias=None, position_only=False,
                    use_pallas=None, mesh=None, axis=None):
+        # CONFOUND WARNING (measured): a broadcast-like stub (uniform +
+        # tiny dep) lets XLA compute the probs on the fly — the 12
+        # per-iteration 105 MB HBM reads vanish too, so the stub slope
+        # measures materialization + ALL iteration reads (~1.56
+        # ms/frame), not materialization alone (~0.3). Materialize
+        # NON-compressible values (outer product of the inputs) so only
+        # the build cost is removed.
         bh, n, d = q.shape
-        dep = (jnp.sum(q) + jnp.sum(k)).astype(jnp.bfloat16) * jnp.asarray(
-            1e-30, jnp.bfloat16
+        qr = q[..., :1].reshape(bh, h, w, 1).astype(jnp.bfloat16)
+        kr = k[..., 0].astype(jnp.bfloat16)  # (bh, n)
+        return qr * kr[:, None, None, :] * jnp.asarray(
+            1e-3, jnp.bfloat16
         )
-        uniform = jnp.full((bh, h, w, n), 1.0 / n, jnp.bfloat16)
-        return uniform + dep
 
     def stub_ups(flow, mask):
         up = jax.image.resize(
