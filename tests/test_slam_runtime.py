@@ -419,3 +419,27 @@ def test_refine_trajectory_with_closure(tmp_path, model_vars):
 
     with pytest.raises(ValueError, match="closure"):
         slam.refine_trajectory([])
+
+
+def test_detect_closures_edge_cases(tmp_path, model_vars):
+    """Short trajectories return no candidates; an impossible distance
+    threshold makes close_loops a None no-op (poses untouched)."""
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam.start_odometry()
+    for f in frames(5, seed=11):
+        slam(f)
+    n = len(slam)
+    # synthesize embeddings directly (mapping training is not what
+    # this test pins): distinct vectors, no revisits
+    slam.keyframes.embeddings = np.arange(
+        n * 4, dtype=np.float32
+    ).reshape(n, 4) * 10.0
+
+    # n < min_gap + 2 -> no candidates at all
+    assert slam.detect_closure_pairs(min_gap=10) == []
+    # acceptance threshold none can pass -> close_loops is a no-op
+    poses_before = slam.keyframes.poses[:n].copy()
+    assert slam.close_loops(min_gap=2, max_dist=0.0) is None
+    np.testing.assert_array_equal(slam.keyframes.poses[:n], poses_before)
