@@ -104,6 +104,10 @@ class SlamRuntime:
         self._carry = self.odometry_model.init_carry(1)
         self._image_buffer: jax.Array | None = None
         self._stream_fmap: jax.Array | None = None
+        self._warm_start = bool(
+            getattr(config.slam, "flow_warm_start", False)
+        )
+        self._stream_flow: jax.Array | None = None
         self._current_pose = np.eye(4, dtype=np.float64)
         self._propagation = np.eye(4, dtype=np.float64)
 
@@ -131,22 +135,26 @@ class SlamRuntime:
     # -- jitted cores ---------------------------------------------------
 
     def _odometry_step_fn(
-        self, flow_vars, odo_vars, im1, im2, carry, fmap1=None
+        self, flow_vars, odo_vars, im1, im2, carry, fmap1=None,
+        flow_init=None,
     ):
         """(frame pair, carry) -> (rel pose 4x4 f32, upsampled flow,
-        new carry, im2's feature map). The device round trip of the hot
-        loop (ref: neural_slam.py:202-204). ``fmap1`` is the cached
-        feature map of ``im1`` from the previous streaming step — each
-        video frame is encoded once instead of twice."""
-        (_, flow), fmap2 = self.flow_model.apply(
+        low-res flow, new carry, im2's feature map). The device round
+        trip of the hot loop (ref: neural_slam.py:202-204). ``fmap1``
+        is the cached feature map of ``im1`` from the previous
+        streaming step — each video frame is encoded once instead of
+        twice. ``flow_init`` optionally warm-starts the GMA iterations
+        (``SlamConfig.flow_warm_start``: the previous pair's low-res
+        flow; zeros reproduce the cold start exactly)."""
+        (flow_low, flow), fmap2 = self.flow_model.apply(
             flow_vars, im1[None], im2[None], test_mode=True,
-            fmap1=fmap1, return_features=True,
+            fmap1=fmap1, return_features=True, flow_init=flow_init,
         )
         (rot, tr), carry = self.odometry_model.apply(
             odo_vars, flow[:, None], carry
         )
         mat = pose_to_matrix(rot[0, 0], tr[0, 0])
-        return mat, flow[0], carry, fmap2
+        return mat, flow[0], flow_low, carry, fmap2
 
     def _fnet_fn(self, flow_vars, image):
         """Feature-encode one frame (bootstraps the streaming cache)."""
@@ -211,15 +219,25 @@ class SlamRuntime:
         if self._image_buffer is None:
             self._image_buffer = im
             self._stream_fmap = self._fnet(self._flow_vars, im)
+            if self._warm_start:
+                # zero init == exact cold-start semantics for pair 0,
+                # and keeps the jitted step monomorphic (one trace)
+                h8, w8 = im.shape[0] // 8, im.shape[1] // 8
+                self._stream_flow = jnp.zeros((1, h8, w8, 2), jnp.float32)
             self.keyframes.append(
                 np.asarray(im, np.uint8), self._current_pose
             )
             return self._current_pose.copy()
 
-        mat, _flow, self._carry, self._stream_fmap = self._odometry_step(
-            self._flow_vars, self._odo_vars, self._image_buffer, im,
-            self._carry, self._stream_fmap,
+        mat, _flow, flow_low, self._carry, self._stream_fmap = (
+            self._odometry_step(
+                self._flow_vars, self._odo_vars, self._image_buffer, im,
+                self._carry, self._stream_fmap,
+                self._stream_flow if self._warm_start else None,
+            )
         )
+        if self._warm_start:
+            self._stream_flow = flow_low
         pred = np.asarray(mat, np.float64)
         self._current_pose = self._current_pose @ pred
         if self._decide_keyframe(pred):
@@ -270,19 +288,21 @@ class SlamRuntime:
 
         if not hasattr(self, "_scan_step"):
             flow_model, odo_model = self.flow_model, self.odometry_model
+            warm = self._warm_start
 
             def scan_chunk(flow_vars, odo_vars, pairs, carry):
                 def step(carry, pair):
-                    odo_carry, fmap_prev = carry
+                    odo_carry, fmap_prev, flow_prev = carry
                     im1, im2 = pair
-                    (_, flow), fmap2 = flow_model.apply(
+                    (flow_low, flow), fmap2 = flow_model.apply(
                         flow_vars, im1[None], im2[None], test_mode=True,
                         fmap1=fmap_prev, return_features=True,
+                        flow_init=flow_prev if warm else None,
                     )
                     (rot, tr), odo_carry = odo_model.apply(
                         odo_vars, flow[:, None], odo_carry
                     )
-                    carry = (odo_carry, fmap2)
+                    carry = (odo_carry, fmap2, flow_low)
                     # emit the carry too so padded tail steps can be
                     # discarded without polluting the runtime state
                     return carry, (pose_to_matrix(rot[0, 0], tr[0, 0]), carry)
@@ -296,6 +316,11 @@ class SlamRuntime:
         self.keyframes.append(np.asarray(first, np.uint8), self._current_pose)
         poses = [self._current_pose.copy()]
         self._stream_fmap = self._fnet(self._flow_vars, first)
+        # zero init for the first pair == exact cold-start semantics;
+        # carried even when warm start is off so the scan carry has one
+        # static structure (the flow_init input is simply unused then)
+        h8, w8 = first.shape[0] // 8, first.shape[1] // 8
+        self._stream_flow = jnp.zeros((1, h8, w8, 2), jnp.float32)
 
         # process in chunks, preparing/uploading only chunk+1 frames at
         # a time (the full KITTI sequence would not fit device memory)
@@ -314,11 +339,11 @@ class SlamRuntime:
                 im2 = jnp.concatenate([im2, pad])
             mats, carries = self._scan_step(
                 self._flow_vars, self._odo_vars, (im1, im2),
-                (self._carry, self._stream_fmap),
+                (self._carry, self._stream_fmap, self._stream_flow),
             )
             # adopt the carry at the last VALID step, not the padded tail
-            self._carry, self._stream_fmap = jax.tree.map(
-                lambda x: x[count - 1], carries
+            self._carry, self._stream_fmap, self._stream_flow = (
+                jax.tree.map(lambda x: x[count - 1], carries)
             )
             for j, pred in enumerate(np.asarray(mats, np.float64)[:count]):
                 self._current_pose = self._current_pose @ pred
@@ -546,7 +571,7 @@ class SlamRuntime:
         im_i = self._prepare(self.keyframes.read_rgb(i))
         im_j = self._prepare(self.keyframes.read_rgb(j))
         carry = self.odometry_model.init_carry(1)
-        mat, _flow, _carry, _fmap = self._odometry_step(
+        mat, _flow, _low, _carry, _fmap = self._odometry_step(
             self._flow_vars, self._odo_vars, im_i, im_j, carry
         )
         return np.asarray(mat, np.float64)
@@ -596,7 +621,7 @@ class SlamRuntime:
 
         key_rgb = self._prepare(self.keyframes.read_rgb(idx))
         carry = self.odometry_model.init_carry(1)
-        mat, _flow, _carry, _fmap = self._odometry_step(
+        mat, _flow, _low, _carry, _fmap = self._odometry_step(
             self._flow_vars, self._odo_vars, key_rgb, im, carry
         )
         refined = initial @ np.asarray(mat, np.float64)

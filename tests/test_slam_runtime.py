@@ -443,3 +443,54 @@ def test_detect_closures_edge_cases(tmp_path, model_vars):
     poses_before = slam.keyframes.poses[:n].copy()
     assert slam.close_loops(min_gap=2, max_dist=0.0) is None
     np.testing.assert_array_equal(slam.keyframes.poses[:n], poses_before)
+
+
+def test_flow_warm_start(tmp_path, model_vars):
+    """SlamConfig.flow_warm_start: the FIRST pair (zero flow init) is
+    bit-equal to the cold start; later pairs consume the previous
+    pair's low-res flow (state threads, outputs stay finite); the
+    batched sequence API matches frame-by-frame streaming under warm
+    start too."""
+    flow_vars, odo_vars = model_vars
+    fr = frames(6, seed=21)
+
+    cold = SlamRuntime(tiny_config(tmp_path / "c"), flow_vars, odo_vars)
+    cold.start_odometry()
+    cold_poses = [cold(f) for f in fr[:2]]
+
+    cfg_w = tiny_config(tmp_path / "w")
+    cfg_w = dataclasses.replace(
+        cfg_w, slam=dataclasses.replace(cfg_w.slam, flow_warm_start=True)
+    )
+    warm = SlamRuntime(cfg_w, flow_vars, odo_vars)
+    warm.start_odometry()
+    warm_poses = [warm(f) for f in fr[:2]]
+    # pair 0: zero init == cold start exactly
+    np.testing.assert_allclose(warm_poses[1], cold_poses[1], atol=1e-6)
+    assert warm._stream_flow is not None
+
+    # later pairs: warm init threads the previous low-res flow
+    for f in fr[2:]:
+        p = warm(f)
+    assert np.isfinite(p).all()
+    flow_state = np.asarray(warm._stream_flow)
+    assert flow_state.shape == (1, H // 8, W // 8, 2)
+    assert np.isfinite(flow_state).all()
+
+    # batched API under warm start == frame-by-frame warm streaming
+    cfg_w2 = tiny_config(tmp_path / "w2")
+    cfg_w2 = dataclasses.replace(
+        cfg_w2, slam=dataclasses.replace(cfg_w2.slam, flow_warm_start=True)
+    )
+    warm2 = SlamRuntime(cfg_w2, flow_vars, odo_vars)
+    warm2.start_odometry()
+    batch_poses = warm2.run_odometry_sequence(np.stack(fr), chunk=4)
+    # recompute the full warm streaming trajectory for comparison
+    cfg_w3 = tiny_config(tmp_path / "w3")
+    cfg_w3 = dataclasses.replace(
+        cfg_w3, slam=dataclasses.replace(cfg_w3.slam, flow_warm_start=True)
+    )
+    warm3 = SlamRuntime(cfg_w3, flow_vars, odo_vars)
+    warm3.start_odometry()
+    full_stream = np.stack([warm3(f) for f in fr])
+    np.testing.assert_allclose(batch_poses, full_stream, atol=1e-4)
