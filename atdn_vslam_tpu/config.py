@@ -105,12 +105,15 @@ class SlamConfig:
     translation_threshold: float = 15.0
     max_keyframes: int = 4096  # static capacity of the array-backed store
     #: initialize each pair's GMA iterations from the previous pair's
-    #: low-res flow (video motion is temporally smooth, so the solver
-    #: starts near the answer — fewer iterations reach the same
-    #: accuracy). The first pair starts from zero flow, which is
-    #: exactly the cold-start behavior. The reference supports
-    #: ``flow_init`` only in its Sintel evaluation warm start
-    #: (GMA/evaluate.py:73-77), never in its SLAM loop.
+    #: low-res flow, forward-warped to the new frame's pixel grid
+    #: (ops/bilinear.py:forward_warp_flow — the jittable equivalent of
+    #: the reference's forward_interpolate splat; disocclusion holes
+    #: fall back to zero = per-pixel cold start). Video motion is
+    #: temporally smooth, so the solver starts near the answer. The
+    #: first pair starts from zero flow, which is exactly the
+    #: cold-start behavior. The reference supports ``flow_init`` only
+    #: in its Sintel evaluation warm start (GMA/evaluate.py:73-77),
+    #: never in its SLAM loop.
     flow_warm_start: bool = False
 
 

@@ -111,7 +111,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 #: image rows per probs-write block (and the row-padding multiple of
-#: keep_padded probs output)
+#: keep_padded probs output). Measured reason this is 1: blocking the
+#: write kernel 8 image rows per dispatch regressed the full streaming
+#: window 24.12 -> 25.28 ms/frame on a v5e (VMEM pressure from the
+#: (8, W, bk) tiles) — the multi-row machinery below stays general but
+#: the shipped constant never exercises hb > 1.
 _WRITE_HB = 1
 
 
@@ -453,12 +457,16 @@ def flash_probs_spatial(
 
     :param q: (B, N, D) pre-scaled queries (N = h*w).
     :param k: (B, N, D) keys.
-    :param keep_padded: return the key dim padded to a multiple of
-        ``bk`` — padded columns are EXACT zeros (scores masked to
-        -inf), so downstream contractions are unchanged and the
-        ~105 MB slice copy disappears from the graph.
+    :param keep_padded: return the key dim padded to a multiple of the
+        128-lane tile (NOT the ``bk`` grid multiple — at KITTI
+        resolution that is 7296 vs 8192 columns, 11% less matrix to
+        stream every iteration; the rows also stay padded to a
+        ``_WRITE_HB`` multiple, a no-op at hb=1). Padded columns are
+        EXACT zeros (scores masked to -inf), so downstream
+        contractions are unchanged and the ~105 MB slice copy
+        disappears from the graph.
     :return: (B, h, w, N) probabilities in q's dtype (key dim padded
-        to a ``bk`` multiple under ``keep_padded``).
+        to a 128 multiple under ``keep_padded``).
     """
     return _flash_probs_impl(q, k, h, w, scale, bk, interpret, keep_padded)
 
@@ -767,9 +775,13 @@ def _flash_apply_probs_impl(
     n_k = _round_up(n, bk)
     h_p = _round_up(h, hb)
     # key-dim padding: probs pad columns must be ZERO so they add
-    # nothing (v pad rows are then free to be zeros too). The
-    # production path hands probs already padded with exact zeros
-    # (flash_probs_spatial keep_padded) so only the tiny v pad runs.
+    # nothing (v pad rows are then free to be zeros too). NOTE:
+    # keep_padded probs arrive padded to a 128-lane multiple, but this
+    # kernel's grid needs a bk (default 1024) multiple — at KITTI
+    # resolution (7296 vs 8192) the pad below copies the full ~105 MB
+    # matrix. Irrelevant in production (the einsum path is the default;
+    # this kernel measured slower end to end), but a reason this
+    # kernel would need a ragged last key block before it could win.
     pp = probs
     if n_k != n:
         pp = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, n_k - n)))

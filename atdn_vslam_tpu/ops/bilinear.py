@@ -56,3 +56,45 @@ def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
         + tap(y0 + 1, x0 + 1, fy * fx)
     )
     return out.reshape(*lead, coords.shape[-2], c)
+
+
+def forward_warp_flow(flow: jax.Array) -> jax.Array:
+    """Forward-warp a flow field to frame t+1's pixel grid — the warm
+    start for the next pair's GMA iterations.
+
+    The reference's ``forward_interpolate`` (GMA/core/utils/
+    utils.py:28-56, used by the Sintel warm start, GMA/evaluate.py)
+    splats each flow vector to its target location on host and fills
+    every output pixel with scipy nearest-neighbor griddata. TPU-native
+    equivalent: a rounded scatter-add splat with collision averaging;
+    uncovered pixels (disocclusions) get ZERO flow, which is exactly
+    the cold-start init for those pixels — a conservative fill instead
+    of griddata's nearest-source extrapolation (a host round trip per
+    frame is not acceptable in the jitted hot loop).
+
+    :param flow: (B, H, W, 2) flow, channel order (x, y).
+    :return: (B, H, W, 2) warped flow, same dtype.
+    """
+    b, h, w, _ = flow.shape
+    f = flow.astype(jnp.float32)
+    grid = coords_grid(h, w)  # (H, W, 2) channel order (x, y)
+    target = grid[None] + f
+    tx = jnp.round(target[..., 0]).astype(jnp.int32)
+    ty = jnp.round(target[..., 1]).astype(jnp.int32)
+    valid = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+    # clamp for a safe flat index; invalid entries carry zero weight
+    idx = (
+        jnp.clip(ty, 0, h - 1) * w + jnp.clip(tx, 0, w - 1)
+    ).reshape(b, h * w)
+    vmask = valid.reshape(b, h * w, 1).astype(jnp.float32)
+
+    def splat_one(idx1, val1, cnt1):
+        summed = jnp.zeros((h * w, 2), jnp.float32).at[idx1].add(val1)
+        count = jnp.zeros((h * w, 1), jnp.float32).at[idx1].add(cnt1)
+        return summed, count
+
+    summed, count = jax.vmap(splat_one)(
+        idx, f.reshape(b, h * w, 2) * vmask, vmask
+    )
+    out = summed / jnp.maximum(count, 1.0)
+    return out.reshape(b, h, w, 2).astype(flow.dtype)

@@ -176,7 +176,9 @@ def nearest_sharded(mesh, embeddings, code):
     host-side ``KeyframeStore.nearest`` (and for the reference's
     python loop, neural_slam.py:373-384).
 
-    :param embeddings: (K, D) array, K divisible by the data-axis size.
+    :param embeddings: (K, D) array. K not divisible by the data-axis
+        size is padded with +inf rows (never win the argmin; their
+        distances are sliced off the return).
     :param code: (D,) query embedding.
     :return: (index, distances (K,)) on host.
     """
@@ -184,11 +186,19 @@ def nearest_sharded(mesh, embeddings, code):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    emb = np.asarray(embeddings, np.float32)
+    k = len(emb)
+    dsize = mesh.shape["data"]
+    k_pad = -(-k // dsize) * dsize
+    if k_pad != k:
+        emb = np.concatenate(
+            [emb, np.full((k_pad - k, emb.shape[1]), np.inf, np.float32)]
+        )
     emb_sharded = jax.device_put(
-        jnp.asarray(embeddings), NamedSharding(mesh, P("data"))
+        jnp.asarray(emb), NamedSharding(mesh, P("data"))
     )
     code_repl = jax.device_put(
-        jnp.asarray(code), NamedSharding(mesh, P())
+        jnp.asarray(code, jnp.float32), NamedSharding(mesh, P())
     )
 
     @jax.jit
@@ -197,4 +207,4 @@ def nearest_sharded(mesh, embeddings, code):
         return jnp.argmin(d), d
 
     idx, d = search(emb_sharded, code_repl)
-    return int(idx), np.asarray(d)
+    return int(idx), np.asarray(d)[:k]

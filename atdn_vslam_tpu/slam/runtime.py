@@ -145,7 +145,14 @@ class SlamRuntime:
         streaming step — each video frame is encoded once instead of
         twice. ``flow_init`` optionally warm-starts the GMA iterations
         (``SlamConfig.flow_warm_start``: the previous pair's low-res
-        flow; zeros reproduce the cold start exactly)."""
+        flow, FORWARD-WARPED to the new frame's pixel grid like the
+        reference's Sintel warm start — GMA/evaluate.py:73-77 via
+        forward_interpolate; zeros are a warp fixed point, so the
+        first pair reproduces the cold start exactly)."""
+        if flow_init is not None:
+            from atdn_vslam_tpu.ops.bilinear import forward_warp_flow
+
+            flow_init = forward_warp_flow(flow_init)
         (flow_low, flow), fmap2 = self.flow_model.apply(
             flow_vars, im1[None], im2[None], test_mode=True,
             fmap1=fmap1, return_features=True, flow_init=flow_init,
@@ -292,12 +299,17 @@ class SlamRuntime:
 
             def scan_chunk(flow_vars, odo_vars, pairs, carry):
                 def step(carry, pair):
+                    from atdn_vslam_tpu.ops.bilinear import (
+                        forward_warp_flow,
+                    )
+
                     odo_carry, fmap_prev, flow_prev = carry
                     im1, im2 = pair
                     (flow_low, flow), fmap2 = flow_model.apply(
                         flow_vars, im1[None], im2[None], test_mode=True,
                         fmap1=fmap_prev, return_features=True,
-                        flow_init=flow_prev if warm else None,
+                        flow_init=forward_warp_flow(flow_prev)
+                        if warm else None,
                     )
                     (rot, tr), odo_carry = odo_model.apply(
                         odo_vars, flow[:, None], odo_carry
@@ -581,16 +593,58 @@ class SlamRuntime:
         min_gap: int = 10,
         max_dist: float | None = None,
         max_candidates: int = 5,
+        max_translation: float | None = None,
+        max_rotation_deg: float | None = None,
     ) -> list[tuple[int, int, np.ndarray]]:
         """Detected closure edges ``(i, j, T_ij)`` ready for
         :meth:`refine_trajectory` (measurement direction matches its
-        odometry edges: ``T_ij = P_i^-1 P_j``)."""
-        return [
-            (i, j, self.measure_closure(i, j))
-            for i, j, _ in self.detect_closure_pairs(
-                min_gap, max_dist, max_candidates
-            )
-        ]
+        odometry edges: ``T_ij = P_i^-1 P_j``).
+
+        Geometric consistency gate: an embedding hit claims keyframes i
+        and j show the *same place*, so the frontend's measured
+        relative pose must be a small motion. Perceptually aliased
+        embeddings at NON-revisits — the classic failure mode of
+        embedding-NN place recognition — pass the distance threshold
+        but measure a large relative motion and are rejected here,
+        before a false edge can corrupt the whole trajectory through
+        the Gauss-Newton solve.
+
+        :param max_translation: reject edges whose measured translation
+            norm exceeds this. ``None``: use the keyframe registration
+            threshold (keyframes are at most that far apart, so "same
+            place" means within one keyframe spacing); gate disabled
+            when that threshold is 0 (test configs register every
+            frame).
+        :param max_rotation_deg: same for the measured rotation angle
+            (``None``: the keyframe rotation threshold).
+        """
+        max_tr = (
+            self._tr_threshold if max_translation is None else max_translation
+        )
+        max_rot = (
+            self._rot_threshold
+            if max_rotation_deg is None
+            else np.deg2rad(max_rotation_deg)
+        )
+        edges = []
+        for i, j, _ in self.detect_closure_pairs(
+            min_gap, max_dist, max_candidates
+        ):
+            t = self.measure_closure(i, j)
+            if max_tr > 0 and np.linalg.norm(t[:3, 3]) > max_tr:
+                log(f"closure ({i}, {j}) rejected: inconsistent translation")
+                continue
+            if max_rot > 0:
+                angle = np.linalg.norm(
+                    np.asarray(matrix_to_euler(jnp.asarray(t[:3, :3])))
+                )
+                if angle > max_rot:
+                    log(
+                        f"closure ({i}, {j}) rejected: inconsistent rotation"
+                    )
+                    continue
+            edges.append((i, j, t))
+        return edges
 
     def close_loops(
         self,
@@ -599,12 +653,18 @@ class SlamRuntime:
         max_candidates: int = 5,
         iterations: int = 10,
         closure_weight: float = 1.0,
+        max_translation: float | None = None,
+        max_rotation_deg: float | None = None,
     ) -> tuple[np.ndarray, float] | None:
         """Detect loop closures and refine the trajectory in one call.
 
         :return: (optimized poses, mean residual), or None when no
-            closure candidate passes the acceptance threshold."""
-        closures = self.detect_closures(min_gap, max_dist, max_candidates)
+            closure candidate passes the acceptance threshold (or the
+            geometric-consistency gate, see :meth:`detect_closures`)."""
+        closures = self.detect_closures(
+            min_gap, max_dist, max_candidates, max_translation,
+            max_rotation_deg,
+        )
         if not closures:
             return None
         return self.refine_trajectory(
@@ -616,7 +676,25 @@ class SlamRuntime:
         (ref: neural_slam.py:355-399)."""
         im = self._prepare(image)
         mu = self._encode(self._map_vars, im[None])
-        idx, distances = self.keyframes.nearest(np.asarray(mu))
+        if self._mesh is not None:
+            # pod-scale path: keyframe ranges sharded over the data
+            # axis, GSPMD argmin over ICI (equality-tested vs the host
+            # path) — replaces the reference's python loop over every
+            # keyframe (neural_slam.py:373-384)
+            from atdn_vslam_tpu.slam.keyframes import nearest_sharded
+
+            n = len(self.keyframes)
+            emb = self.keyframes.embeddings
+            if emb is None:
+                raise RuntimeError(
+                    "Store has no embeddings; run mapping first"
+                )
+            idx, distances = nearest_sharded(
+                self._mesh, emb[:n].reshape(n, -1),
+                np.asarray(mu).reshape(-1),
+            )
+        else:
+            idx, distances = self.keyframes.nearest(np.asarray(mu))
         initial = self.keyframes.poses[idx].copy()
 
         key_rgb = self._prepare(self.keyframes.read_rgb(idx))

@@ -7,7 +7,8 @@ train_localization.py is a broken near-duplicate — SURVEY.md 2.18):
   * 50 epochs, batch 16, AdamW lr 1e-3 wd 1e-3, cosine to 1e-5
     (neural_slam.py:310-321);
   * color-jitter augmentation on inputs (neural_slam.py:323,329) —
-    implemented as jittable brightness/saturation perturbations (the
+    jittable brightness/saturation perturbations in random op order
+    with per-op clamping (torchvision ColorJitter semantics; the
     reference's hue jitter amplitude is 1e-3, visually null; omitted);
   * targets are the *unaugmented* images resized to the decoder output,
     gaussian-blurred, ImageNet-normalized (neural_slam.py:332-334);
@@ -41,19 +42,33 @@ def color_jitter(rng: jax.Array, images: jax.Array,
                  brightness: float = 0.1, saturation: float = 0.1) -> jax.Array:
     """Per-image brightness/saturation jitter on [0, 255] RGB
     (ref: ColorJitter(brightness=0.1, saturation=0.1, hue=1e-3),
-    neural_slam.py:323)."""
+    neural_slam.py:323).
+
+    torchvision's ColorJitter applies its ops in a random ORDER per
+    draw with clamping after each op; both orders of the two ops are
+    computed and selected per image (branchless — this runs inside the
+    jitted train step). The reference's hue jitter (amplitude 1e-3,
+    visually null) is a documented omission."""
     b = images.shape[0]
-    r1, r2 = jax.random.split(rng)
+    r1, r2, r3 = jax.random.split(rng, 3)
     bf = jax.random.uniform(
         r1, (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness
     )
     sf = jax.random.uniform(
         r2, (b, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation
     )
-    out = images * bf
-    gray = jnp.mean(out, axis=-1, keepdims=True)
-    out = gray + sf * (out - gray)
-    return jnp.clip(out, 0.0, 255.0)
+
+    def bright(x):
+        return jnp.clip(x * bf, 0.0, 255.0)
+
+    def sat(x):
+        gray = jnp.mean(x, axis=-1, keepdims=True)
+        return jnp.clip(gray + sf * (x - gray), 0.0, 255.0)
+
+    first_bright = jax.random.bernoulli(r3, 0.5, (b, 1, 1, 1))
+    return jnp.where(
+        first_bright, sat(bright(images)), bright(sat(images))
+    )
 
 
 def gaussian_blur_5x5(images: jax.Array) -> jax.Array:

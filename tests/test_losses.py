@@ -144,3 +144,49 @@ def test_gaussian_blur_constant_invariant():
     out = np.asarray(gaussian_blur_5x5(img))
     # interior of a constant image stays constant
     np.testing.assert_allclose(out[0, 2:-2, 2:-2], 7.0, atol=1e-4)
+
+
+def test_color_jitter_random_op_order(rng):
+    """The jitter applies brightness/saturation in a random per-image
+    ORDER with per-op clamping (torchvision ColorJitter semantics,
+    ref neural_slam.py:323) — both orders must occur across a batch,
+    and each image must match one of the two hand-computed orders."""
+    import jax
+
+    from atdn_vslam_tpu.training.mapping import color_jitter
+
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, (64, 4, 4, 3)).astype(np.float32)
+    )
+    # large amplitudes make the two orders numerically distinct
+    out = np.asarray(
+        color_jitter(jax.random.key(3), imgs, brightness=0.9,
+                     saturation=0.9)
+    )
+
+    # reproduce the draws the implementation makes
+    r1, r2, r3 = jax.random.split(jax.random.key(3), 3)
+    bf = np.asarray(jax.random.uniform(
+        r1, (64, 1, 1, 1), minval=0.1, maxval=1.9))
+    sf = np.asarray(jax.random.uniform(
+        r2, (64, 1, 1, 1), minval=0.1, maxval=1.9))
+    x = np.asarray(imgs)
+
+    def bright(v):
+        return np.clip(v * bf, 0, 255)
+
+    def sat(v):
+        g = v.mean(axis=-1, keepdims=True)
+        return np.clip(g + sf * (v - g), 0, 255)
+
+    bs = sat(bright(x))
+    sb = bright(sat(x))
+    match_bs = np.array([
+        np.allclose(out[i], bs[i], atol=1e-4) for i in range(64)
+    ])
+    match_sb = np.array([
+        np.allclose(out[i], sb[i], atol=1e-4) for i in range(64)
+    ])
+    assert (match_bs | match_sb).all(), "every image matches one order"
+    assert match_bs.any() and (~match_bs & match_sb).any(), \
+        "both orders occur across the batch"

@@ -601,3 +601,41 @@ def test_flash_probs_keep_padded_gradients(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
                                atol=1e-5)
+
+
+def test_forward_warp_flow_splat_semantics():
+    """forward_warp_flow (the TPU-native forward_interpolate,
+    GMA/core/utils/utils.py:28-56): constant integer flow translates
+    the field; vacated pixels fall back to zero (per-pixel cold
+    start); colliding splats average; zero flow is a fixed point."""
+    from atdn_vslam_tpu.ops.bilinear import forward_warp_flow
+
+    h, w = 6, 8
+    # constant flow (2, 1): every vector lands at (x+2, y+1)
+    flow = np.zeros((1, h, w, 2), np.float32)
+    flow[..., 0] = 2.0
+    flow[..., 1] = 1.0
+    out = np.asarray(forward_warp_flow(jnp.asarray(flow)))
+    np.testing.assert_allclose(out[0, 1:, 2:], flow[0, 1:, 2:])
+    # vacated band: zero init
+    np.testing.assert_allclose(out[0, 0, :], 0.0)
+    np.testing.assert_allclose(out[0, :, :2], 0.0)
+
+    # zero flow is a fixed point (first-pair cold start stays exact)
+    z = jnp.zeros((2, h, w, 2), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(forward_warp_flow(z)), 0.0)
+
+    # collisions average: two columns of flow pointing at the same
+    # target column -> mean of the two vectors
+    coll = np.zeros((1, 1, 4, 2), np.float32)
+    coll[0, 0, 0, 0] = 2.0   # lands on x=2
+    coll[0, 0, 1, 0] = 1.0   # lands on x=2 too
+    coll[0, 0, 2, 0] = 1.0   # moves AWAY from x=2 (else its zero-flow
+    # self-splat would join the average)
+    out2 = np.asarray(forward_warp_flow(jnp.asarray(coll)))
+    np.testing.assert_allclose(out2[0, 0, 2], [1.5, 0.0])
+    # out-of-range splats are dropped
+    oob = np.full((1, 1, 4, 2), 100.0, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(forward_warp_flow(jnp.asarray(oob))), 0.0
+    )

@@ -494,3 +494,136 @@ def test_flow_warm_start(tmp_path, model_vars):
     warm3.start_odometry()
     full_stream = np.stack([warm3(f) for f in fr])
     np.testing.assert_allclose(batch_poses, full_stream, atol=1e-4)
+
+
+def test_closure_discrimination_rejects_aliased_embeddings(
+    tmp_path, model_vars
+):
+    """Perceptual aliasing stress test (VERDICT r3 item 6): non-revisit
+    keyframes with near-identical embeddings — the classic failure of
+    embedding-NN place recognition — pass the embedding threshold but
+    are rejected by the geometric-consistency gate before they can
+    corrupt the trajectory through the Gauss-Newton solve."""
+    from atdn_vslam_tpu.geometry.pose_graph import se3_exp
+    from atdn_vslam_tpu.geometry.se3 import euler_to_matrix
+
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    rng = np.random.default_rng(23)
+    n = 16
+
+    # GT: out 8 frames along z and back — frame 15 truly revisits
+    # frame 0; frame 8 (z=8) is 7 m away from frame 1 (z=1)
+    gt = np.stack([np.eye(4)] * n)
+    zs = list(range(8)) + list(range(8, 0, -1))
+    for i in range(n):
+        gt[i][2, 3] = float(zs[i])
+
+    # stored chain: GT + accumulated odometry drift
+    noise = np.asarray(
+        se3_exp(np.asarray(rng.normal(size=(n - 1, 6)), np.float32) * 0.03)
+    )
+    noisy = [gt[0]]
+    for i in range(n - 1):
+        rel = np.linalg.inv(gt[i]) @ gt[i + 1] @ noise[i]
+        noisy.append(noisy[-1] @ rel)
+    for i in range(n):
+        slam.keyframes.append(np.zeros((4, 4, 3), np.uint8), noisy[i])
+
+    # embeddings: consecutive spacing 10; TRUE revisit (15, 0) and an
+    # ALIASED false match (8, 1) — different places, near-identical
+    # embeddings
+    emb = np.zeros((n, 4), np.float32)
+    emb[:, 0] = 10.0 * np.arange(n)
+    emb[15] = emb[0]
+    emb[8] = emb[1] + 0.1
+    slam.keyframes.set_embeddings(emb)
+
+    # frontend stand-in: the measurement is the GT relative pose (the
+    # most CHARITABLE false measurement — anything worse is rejected a
+    # fortiori), with the aliased pair also carrying a 60 deg yaw
+    yaw = np.eye(4)
+    yaw[:3, :3] = np.asarray(
+        euler_to_matrix(jnp.asarray([np.deg2rad(60.0), 0.0, 0.0]))
+    )
+
+    def fake_measure(i, j):
+        t = np.linalg.inv(gt[i]) @ gt[j]
+        return t @ yaw if (i, j) == (8, 1) else t
+
+    slam.measure_closure = fake_measure
+
+    # 1) the embedding stage alone is FOOLED: both pairs pass
+    pairs = {(i, j) for i, j, _ in slam.detect_closure_pairs(min_gap=5)}
+    assert (15, 0) in pairs
+    assert (8, 1) in pairs, "aliased pair should pass the embedding gate"
+
+    # 2) the translation gate rejects the aliased pair (7 m > 2 m),
+    # keeps the true revisit — precision 1.0, recall 1.0
+    edges = slam.detect_closures(
+        min_gap=5, max_translation=2.0, max_rotation_deg=0.0
+    )
+    assert [(i, j) for i, j, _ in edges] == [(15, 0)]
+
+    # 3) the rotation gate alone also rejects it (60 deg > 30 deg)
+    edges_rot = slam.detect_closures(
+        min_gap=5, max_translation=0.0, max_rotation_deg=30.0
+    )
+    assert [(i, j) for i, j, _ in edges_rot] == [(15, 0)]
+
+    # 4) end-to-end: a FORCED false edge corrupts the trajectory;
+    # the gated close_loops improves it instead
+    def err(poses):
+        return np.linalg.norm(
+            poses[:n, :3, 3] - gt[:, :3, 3], axis=1
+        ).mean()
+
+    poses_before = slam.keyframes.poses[:n].copy()
+    err_before = err(poses_before)
+    forced, _ = slam.refine_trajectory(
+        [(8, 1, fake_measure(8, 1))], iterations=8, closure_weight=4.0
+    )
+    err_false = err(forced)
+    slam.keyframes.poses[:n] = poses_before  # restore
+
+    result = slam.close_loops(
+        min_gap=5, max_translation=2.0, max_rotation_deg=0.0,
+        closure_weight=4.0,
+    )
+    assert result is not None
+    err_gated = err(result[0])
+    assert err_gated < err_before, "true closure should reduce drift"
+    assert err_false > err_gated, "false closure corrupts; gate prevents it"
+
+
+def test_relocalize_sharded_matches_host(tmp_path, model_vars):
+    """With a mesh, _relocalize uses the device-sharded NN search
+    (keyframe ranges over the data axis, K=5 padded to 8) and returns
+    exactly what the host path returns (VERDICT r3 item 3)."""
+    from atdn_vslam_tpu.parallel import make_mesh
+
+    flow_vars, odo_vars = model_vars
+    cfg = tiny_config(tmp_path)
+    slam = SlamRuntime(cfg, flow_vars, odo_vars)
+    slam.start_odometry()
+    fr = frames(5, seed=21)
+    for f in fr:
+        slam(f)
+    # skip mapping training: any encoder works for the NN-path A/B
+    mv = slam.mapping_model.init(
+        jax.random.key(2), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    slam._map_vars = mv
+    slam._embed_keyframes()
+    slam._mode = "relocalization"
+
+    query = fr[3]
+    init_h, ref_h, d_h = slam(query)
+    slam._mesh = make_mesh()
+    init_s, ref_s, d_s = slam(query)
+
+    np.testing.assert_allclose(init_s, init_h)
+    np.testing.assert_allclose(ref_s, ref_h, atol=1e-5)
+    assert d_s.shape == d_h.shape == (5,)
+    np.testing.assert_allclose(d_s, d_h, rtol=1e-5)

@@ -116,12 +116,21 @@ def main():
         return 8.0 * up + jnp.sum(mask) * 1e-30
 
     def stub_build(fmap1, fmap2, num_levels=4, dtype=jnp.float32):
+        # CONFOUND WARNING (same as probs): zeros+scalar is broadcast-
+        # compressible — the 12 per-iteration lookup reads of the
+        # volume then degenerate too, so the stub slope measured ~3.2
+        # ms (build + ALL iteration reads), not the build alone.
+        # Materialize NON-compressible per-entry values (rank-1 outer
+        # products of the real feature maps) at the true size.
         b, h1, w1, c = fmap1.shape
-        dep = (jnp.sum(fmap1) + jnp.sum(fmap2)).astype(jnp.float32) * 1e-30
         out = []
         hl, wl = fmap2.shape[1], fmap2.shape[2]
+        f1 = fmap1[..., 0].reshape(b, h1 * w1, 1, 1, 1)
         for level in range(num_levels):
-            vol = jnp.zeros((b, h1 * w1, hl, wl, 1), jnp.float32) + dep
+            f2 = jax.image.resize(
+                fmap2[..., :1], (b, hl, wl, 1), "nearest"
+            ).reshape(b, 1, hl, wl, 1)
+            vol = (f1 * f2).astype(jnp.float32) * 1e-3
             out.append(vol.astype(dtype))
             hl, wl = hl // 2, wl // 2
         return out
@@ -132,6 +141,25 @@ def main():
         # fnet AND cnet share BasicEncoder.__call__ — this stubs both
         ext_mod.BasicEncoder.__call__ = stub_enc_call
         bench("BOTH encoders (fnet+cnet) stubbed")
+        ext_mod.BasicEncoder.__call__ = real_enc_call
+    if which in ("all", "fnetonly", "split"):
+        # split by norm type: fnet is instance-norm, cnet batch-norm
+        def stub_fnet_only(self, x, train=False):
+            if self.norm == "instance":
+                return stub_enc_call(self, x, train)
+            return real_enc_call(self, x, train)
+
+        ext_mod.BasicEncoder.__call__ = stub_fnet_only
+        bench("fnet (instance-norm) only stubbed")
+        ext_mod.BasicEncoder.__call__ = real_enc_call
+    if which in ("all", "cnetonly", "split"):
+        def stub_cnet_only(self, x, train=False):
+            if self.norm != "instance":
+                return stub_enc_call(self, x, train)
+            return real_enc_call(self, x, train)
+
+        ext_mod.BasicEncoder.__call__ = stub_cnet_only
+        bench("cnet (batch-norm) only stubbed")
         ext_mod.BasicEncoder.__call__ = real_enc_call
     if which in ("all", "probs"):
         net_mod.attention_probs_spatial = stub_probs
