@@ -55,6 +55,11 @@ class ConvBlock(nn.Module):
     dilation: tuple[int, int] = (1, 1)
     activation: Activation = mish
     use_bias: bool = True
+    #: optional conv COMPUTE dtype (e.g. bf16 for the full-res ATDNVO
+    #: stem); params stay f32 and the activation+batchnorm run in f32
+    #: on the (8x smaller) conv output either way. None = f32 path,
+    #: bit-identical to the original block.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -73,8 +78,10 @@ class ConvBlock(nn.Module):
             padding=pad,
             kernel_dilation=self.dilation,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="Conv_0",
         )(x)
+        x = x.astype(jnp.float32)
         x = self.activation(x)
         return _batch_norm(train)(x)
 

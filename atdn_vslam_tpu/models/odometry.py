@@ -22,6 +22,8 @@ Encoder structure (compressor variant, ref network.py:63-73):
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -42,6 +44,12 @@ class _Encoder(nn.Module):
     compressor: bool = True
     use_dropout: bool = False
     use_layernorm: bool = False
+    #: compute dtype of the full-resolution stem (the 1x1 depthwise +
+    #: 7x7 s2 conv — the only ops touching the full-res flow; traced at
+    #: ~0.8 ms of the 1.66 ms/frame odometry tail in f32). bf16 halves
+    #: the stem's HBM traffic and doubles its MXU rate; everything from
+    #: the 8x-smaller stem output on stays f32.
+    stem_dtype: Any = None
 
     @nn.compact
     def __call__(self, flow: jax.Array, train: bool = False) -> jax.Array:
@@ -50,8 +58,12 @@ class _Encoder(nn.Module):
             x = nn.Conv(
                 self.in_channels, (1, 1),
                 feature_group_count=self.in_channels,
+                dtype=self.stem_dtype,
             )(flow)
-            x = ConvBlock(16, (7, 7), (2, 2), (3, 3), activation=mish)(x, train)
+            x = ConvBlock(
+                16, (7, 7), (2, 2), (3, 3), activation=mish,
+                dtype=self.stem_dtype,
+            )(x, train)
             for _ in range(4):
                 x = ResidualConvBlock(16, (2, 2), activation=mish)(x, train)
             x = ConvBlock(16, (3, 3), (3, 3), (0, 0), activation=mish)(x, train)
@@ -82,11 +94,15 @@ class ATDNVO(nn.Module):
     use_dropout: bool = False
     use_layernorm: bool = False
     lstm_size: int = 512
+    #: see _Encoder.stem_dtype (accuracy/perf measured in
+    #: tools/profiling/exp_bf16_stem.py; STATUS round-4 entry)
+    stem_dtype: Any = None
 
     def setup(self):
         self.encoder = _Encoder(
             self.in_channels, self.compressor,
             self.use_dropout, self.use_layernorm,
+            stem_dtype=self.stem_dtype,
         )
         self.lstm1 = nn.LSTMCell(self.lstm_size)
         self.lstm_linear = LinearBlock(

@@ -278,15 +278,21 @@ def _probs_stats_kernel(q_ref, k_ref, m_ref, l_ref, m_scr, l_scr,
 
 def _probs_write_kernel(q_ref, k_ref, m_ref, l_ref, o_ref,
                         *, scale: float, n_valid: int, bk: int,
-                        hb: int):
+                        hb: int, k_outer: bool):
     """Normalized probabilities for one (hb-row, key) block pair.
 
     ``hb`` image rows per block (unrolled 2D dots — one per row)
     instead of one: 8x fewer kernel dispatches and 8x less redundant
     k-block traffic. Out-of-range key columns write exact zeros
     (scores masked to -inf); ragged row/col edge blocks are handled by
-    Pallas OOB-write masking."""
-    j = pl.program_id(2)
+    Pallas OOB-write masking.
+
+    ``k_outer``: the grid iterates rows INSIDE each key block (grid
+    (b, nj, rows)) so the k block stays VMEM-resident across the whole
+    row sweep — with rows outside (grid (b, rows, nj)) the k blocks
+    are re-fetched once per row: ~370 x 2 MB = ~750 MB of redundant k
+    traffic per frame at KITTI resolution."""
+    j = pl.program_id(1) if k_outer else pl.program_id(2)
     for r in range(hb):
         s = jax.lax.dot_general(
             q_ref[0, r], k_ref[0], (((1,), (1,)), ((), ())),
@@ -300,7 +306,9 @@ def _probs_write_kernel(q_ref, k_ref, m_ref, l_ref, o_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "scale", "bk", "interpret", "keep_padded"),
+    static_argnames=(
+        "h", "w", "scale", "bk", "interpret", "keep_padded", "k_outer"
+    ),
 )
 def _flash_probs_impl(
     q: jax.Array,
@@ -311,6 +319,7 @@ def _flash_probs_impl(
     bk: int = 1024,
     interpret: bool = False,
     keep_padded: bool = False,
+    k_outer: bool = True,
 ) -> jax.Array:
     b, n, d = q.shape
     n_kv = k.shape[1]  # may differ from n under row sharding
@@ -388,28 +397,45 @@ def _flash_probs_impl(
     if njj * bk > kp.shape[1]:
         kp = jnp.pad(kp, ((0, 0), (0, njj * bk - kp.shape[1]), (0, 0)))
 
-    q_spec = pl.BlockSpec(
-        (1, hb, w, d), lambda b_, i, j: (b_, i, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    k_spec = pl.BlockSpec(
-        (1, bk, d), lambda b_, i, j: (b_, j, 0),
-        memory_space=pltpu.VMEM,
-    )
-    stat_spec = pl.BlockSpec(
-        (1, hb, w, 1), lambda b_, i, j: (b_, i, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if k_outer:
+        # grid (b, key-blocks, rows): k resident per outer step, q and
+        # the stats stream per row (q re-streamed nj times = ~120 MB
+        # vs ~750 MB of k re-fetch the other way around)
+        def _qix(b_, j, i):
+            return (b_, i, 0, 0)
+
+        def _kix(b_, j, i):
+            return (b_, j, 0)
+
+        def _oix(b_, j, i):
+            return (b_, i, 0, j)
+
+        grid = (b, njj, h_sp // hb)
+    else:
+        def _qix(b_, i, j):
+            return (b_, i, 0, 0)
+
+        def _kix(b_, i, j):
+            return (b_, j, 0)
+
+        def _oix(b_, i, j):
+            return (b_, i, 0, j)
+
+        grid = (b, h_sp // hb, njj)
+
+    q_spec = pl.BlockSpec((1, hb, w, d), _qix, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, bk, d), _kix, memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, hb, w, 1), _qix, memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
             _probs_write_kernel, scale=scale, n_valid=n_kv, bk=bk,
-            hb=hb,
+            hb=hb, k_outer=k_outer,
         ),
-        grid=(b, h_sp // hb, njj),
+        grid=grid,
         in_specs=[q_spec, k_spec, stat_spec, stat_spec],
         out_specs=pl.BlockSpec(
-            (1, hb, w, bk), lambda b_, i, j: (b_, i, 0, j),
+            (1, hb, w, bk), _oix,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h_sp, w, n_pad), q.dtype),

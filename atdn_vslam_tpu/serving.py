@@ -92,14 +92,23 @@ def export_stream_step(
     width: int,
     platforms: tuple[str, ...] | None = None,
     bake_weights: bool = True,
+    disabled_checks: tuple | None = None,
 ) -> jax_export.Exported:
     """AOT-export the streaming step at a fixed frame size.
 
     :param platforms: lowering targets, e.g. ``("tpu", "cpu")``; None
-        exports for the default backend only.
+        exports for the default backend only. NOTE: a multi-platform
+        artifact requires a platform-portable graph — build the flow
+        model with ``use_pallas=False`` (pure XLA) for ("tpu", "cpu");
+        the Pallas-kernel graph lowers to a Mosaic custom call that
+        only targets TPU.
     :param bake_weights: close the variables over the graph (self-
         contained artifact). ``False`` keeps them as call arguments so
         a serving process can hot-swap checkpoints.
+    :param disabled_checks: optional ``jax.export.DisabledSafetyCheck``
+        list — exporting the Pallas path needs
+        ``DisabledSafetyCheck.custom_call("tpu_custom_call")`` (Mosaic
+        kernels carry no cross-version stability guarantee).
     :return: a :class:`jax.export.Exported`; ``.serialize()`` yields
         the portable bytes.
     """
@@ -129,6 +138,8 @@ def export_stream_step(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
+    if disabled_checks is not None:
+        kwargs["disabled_checks"] = tuple(disabled_checks)
     return jax_export.export(jax.jit(fn), **kwargs)(*args)
 
 

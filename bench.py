@@ -120,6 +120,27 @@ def main() -> int:
 
     fps = 1.0 / best
 
+    # single-frame latency: online SLAM consumers care about
+    # dispatch-to-pose, not only windowed throughput. A direct 1-frame
+    # dispatch is unmeasurable here (~35 ms of tunnel RPC per call
+    # swamps it), so fit t(N) = dispatch + latency*N over two window
+    # sizes — the slope is the device latency of one streamed frame.
+    latency_ms = None
+    try:
+        n_small = 8
+        small = frames[: n_small + 1]
+        np.asarray(run_window(flow_vars, odo_vars, small))
+        best_small = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            np.asarray(run_window(flow_vars, odo_vars, small))
+            best_small = min(best_small, time.perf_counter() - t0)
+        latency_ms = (
+            (best * N_FRAMES - best_small) / (N_FRAMES - n_small) * 1e3
+        )
+    except Exception:
+        pass
+
     # MFU: analytic FLOPs of one streamed frame over the platform's
     # peak — the perf claim carries its own denominator (VERDICT
     # round-2 #9). XLA's cost analysis counts a rolled loop body ONCE
@@ -173,6 +194,8 @@ def main() -> int:
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "ms_per_frame": round(best * 1e3, 3),
     }
+    if latency_ms is not None:
+        out["latency_ms"] = round(latency_ms, 3)
     if flops_per_frame is not None:
         out["gflop_per_frame"] = round(flops_per_frame / 1e9, 1)
     if mfu is not None:

@@ -12,13 +12,17 @@ import os
 import sys
 
 # Hard override: the shell environment pins JAX_PLATFORMS to the TPU
-# tunnel; tests must be hermetic on CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# tunnel; tests must be hermetic on CPU. ATDN_TEST_TPU=1 opts out for
+# the (explicitly TPU-gated) chip tests, run manually on the real
+# device: ATDN_TEST_TPU=1 pytest tests -m tpu
+_ON_TPU = os.environ.get("ATDN_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # late. Force the config directly as well (safe either way).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound (hundreds of
 # jit graphs on a 2-core box); caching makes repeat runs ~5x faster.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")

@@ -4,8 +4,11 @@ Launched by ``tests/test_distributed_multiprocess.py`` (2 processes,
 CPU backend, 2 virtual devices each -> 4-device global mesh). Exercises
 the actual ``jax.distributed`` bootstrap the reference never had
 (SURVEY.md 2.26/5.8): env-var driven ``initialize``, ``host_shard``,
-``allgather_host_arrays``, and one data-parallel odometry train step
-whose gradient psum crosses the process boundary.
+``allgather_host_arrays``, a data-parallel odometry train step whose
+gradient psum crosses the process boundary, row-sharded flow inference
+over a cross-process "model" axis (equality vs a local unsharded
+reference), and a data-sharded mapping train step (VERDICT r3 item 3:
+every flagship path crosses a real process boundary).
 
 Prints ``WORKER_OK <process_id> loss=<loss>`` on success; any assert
 or mismatch exits non-zero.
@@ -62,14 +65,17 @@ def main() -> int:
         init_state(model, cfg, 10, jnp.zeros((b, t, h, w, 2)))
     )
 
-    def globalize(np_tree, spec):
-        sharding = NamedSharding(mesh, spec)
+    def globalize_on(target_mesh, np_tree, spec):
+        sharding = NamedSharding(target_mesh, spec)
         return jax.tree.map(
             lambda x: jax.make_array_from_callback(
                 np.shape(x), sharding, lambda idx: np.asarray(x)[idx]
             ),
             np_tree,
         )
+
+    def globalize(np_tree, spec):
+        return globalize_on(mesh, np_tree, spec)
 
     state = globalize(state, P())
     rng = np.random.default_rng(0)  # same seed -> same batch everywhere
@@ -89,7 +95,86 @@ def main() -> int:
     assert np.isfinite(loss), loss
     assert int(jax.device_get(state.step)) == 1
 
-    print(f"WORKER_OK {pid} loss={loss:.6f}", flush=True)
+    # --- row-sharded flow inference across the process boundary ----
+    # (VERDICT r3 item 3: the flagship path had only ever crossed a
+    # process boundary as a dp odometry step). The image rows shard
+    # over a 4-device "model" axis spanning both processes; the result
+    # must equal a locally-computed unsharded reference.
+    from atdn_vslam_tpu.config import FlowNetConfig
+    from atdn_vslam_tpu.models.factory import build_flow_model
+    from atdn_vslam_tpu.config import Config
+    from atdn_vslam_tpu.parallel.flow_sharding import sharded_flow_infer
+
+    fh, fw = 48, 96
+    flow_model = build_flow_model(
+        Config(flow=FlowNetConfig(iters=2, mixed_precision=False,
+                                  use_pallas_attention=False)),
+        on_tpu=False,
+    )
+    im1_np = rng.normal(size=(1, fh, fw, 3)).astype(np.float32) * 50 + 128
+    im2_np = rng.normal(size=(1, fh, fw, 3)).astype(np.float32) * 50 + 128
+    local_vars = jax.device_get(
+        jax.jit(flow_model.init)(
+            jax.random.key(3), jnp.asarray(im1_np), jnp.asarray(im2_np)
+        )
+    )
+    # local unsharded reference on this process's first device
+    ref_low, ref_up = jax.jit(
+        lambda v, a, b: flow_model.apply(v, a, b, test_mode=True)
+    )(local_vars, jnp.asarray(im1_np), jnp.asarray(im2_np))
+    ref_low, ref_up = np.asarray(ref_low), np.asarray(ref_up)
+
+    mmesh = make_mesh(MeshConfig(data=1, model=4))
+    gvars = globalize_on(mmesh, local_vars, P())
+    gim1 = globalize_on(mmesh, im1_np, P(None, "model"))
+    gim2 = globalize_on(mmesh, im2_np, P(None, "model"))
+    sh_low, sh_up = sharded_flow_infer(
+        flow_model, gvars, gim1, gim2, mmesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sh_up)), ref_up, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sh_low)), ref_low, atol=2e-3
+    )
+
+    # --- sharded mapping train step across the process boundary ----
+    from atdn_vslam_tpu.config import MappingTrainConfig
+    from atdn_vslam_tpu.models.mapping import MappingVAE
+    from atdn_vslam_tpu.training.mapping import (
+        init_state as map_init_state,
+        make_train_step as map_make_step,
+    )
+
+    mcfg = MappingTrainConfig(batch_size=4, epochs=1)
+    vae = MappingVAE()
+    mstate = jax.device_get(
+        map_init_state(vae, mcfg, 4, jnp.zeros((4, 64, 64, 3)))
+    )
+    mstate = globalize(jax.tree.map(np.asarray, mstate), P())
+    imgs = globalize(
+        rng.uniform(0, 255, size=(4, 64, 64, 3)).astype(np.float32),
+        P("data"),
+    )
+    mstep = map_make_step(vae, mcfg, 4, mesh=mesh, donate=False)
+    # key arrays can't go through make_array_from_callback directly:
+    # globalize the raw key DATA and re-wrap inside jit
+    kd = globalize(
+        np.asarray(jax.random.key_data(jax.random.key(0))), P()
+    )
+
+    @jax.jit
+    def mstep_kd(state, kd, imgs):
+        return mstep(state, jax.random.wrap_key_data(kd), imgs)
+
+    mstate, mloss = mstep_kd(mstate, kd, imgs)
+    mloss = float(jax.device_get(mloss))
+    assert np.isfinite(mloss), mloss
+
+    print(
+        f"WORKER_OK {pid} loss={loss:.6f} maploss={mloss:.6f}",
+        flush=True,
+    )
     return 0
 
 

@@ -108,3 +108,91 @@ def test_streaming_chain_through_artifact(models_and_vars, tmp_path):
     r = pose[:3, :3]
     np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
     np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-6)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="needs the real TPU chip (ATDN_TEST_TPU=1)",
+)
+def test_export_tpu_working_resolution(tmp_path):
+    """The deployment story on real hardware (VERDICT r3 item 5):
+
+    (a) TPU-native artifact at the 376x1232 working resolution with
+        the Pallas kernels engaged — loaded from bytes and executed on
+        chip, equal to the live jitted step; artifact size and
+        load-to-first-pose time recorded;
+    (b) multi-platform ("tpu", "cpu") artifact (pure-XLA graph, since
+        Mosaic custom calls are TPU-only) — loads and runs on chip.
+    """
+    import time
+
+    Hw, Ww = 376, 1232
+    flow_model = RAFTGMA(iters=12, dtype=jnp.bfloat16)
+    odo_model = ATDNVO()
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.uniform(0, 255, (1, Hw, Ww, 3)).astype(np.float32))
+    flow_vars = jax.jit(flow_model.init)(jax.random.key(0), im, im)
+    odo_vars = jax.jit(odo_model.init)(
+        jax.random.key(1), jnp.zeros((1, 1, Hw, Ww, 2)),
+        odo_model.init_carry(1),
+    )
+    im1 = im[0]
+    im2 = jnp.asarray(
+        rng.uniform(0, 255, (Hw, Ww, 3)).astype(np.float32)
+    )
+    fmap = serving.encode_frame(flow_model, flow_vars, im1)
+    carry = odo_model.init_carry(1)
+    pose = jnp.eye(4)
+
+    # (a) TPU-native artifact, Pallas engaged
+    exported = serving.export_stream_step(
+        flow_model, odo_model, flow_vars, odo_vars, Hw, Ww,
+        disabled_checks=(
+            jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        ),
+    )
+    path = tmp_path / "slam_step_tpu.jaxexport"
+    serving.save_stream_step(exported, path)
+    size_mb = path.stat().st_size / 1e6
+
+    live = jax.jit(
+        serving.make_stream_step(flow_model, odo_model,
+                                 (flow_vars, odo_vars))
+    )
+    want = live(im1, im2, fmap, carry, pose)
+    jax.block_until_ready(want)
+
+    t0 = time.perf_counter()
+    loaded = serving.load_exported(path)
+    got = loaded.call(im1, im2, fmap, carry, pose)
+    first_pose = np.asarray(got[0])
+    load_to_pose_s = time.perf_counter() - t0
+
+    np.testing.assert_allclose(
+        first_pose, np.asarray(want[0]), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[3], np.float32), np.asarray(want[3], np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+    print(
+        f"\nTPU artifact: {size_mb:.1f} MB, load-to-first-pose "
+        f"{load_to_pose_s:.1f} s"
+    )
+
+    # (b) multi-platform artifact: pure-XLA graph targets tpu AND cpu
+    flow_xla = RAFTGMA(iters=12, dtype=jnp.bfloat16, use_pallas=False)
+    exported_mp = serving.export_stream_step(
+        flow_xla, odo_model, flow_vars, odo_vars, Hw, Ww,
+        platforms=("tpu", "cpu"),
+    )
+    assert set(p.lower() for p in exported_mp.platforms) == {"tpu", "cpu"}
+    path_mp = tmp_path / "slam_step_multi.jaxexport"
+    serving.save_stream_step(exported_mp, path_mp)
+    loaded_mp = serving.load_exported(path_mp)
+    got_mp = loaded_mp.call(im1, im2, fmap, carry, pose)
+    np.testing.assert_allclose(
+        np.asarray(got_mp[0]), first_pose, atol=1e-3, rtol=1e-3
+    )
+    print(f"multi-platform artifact: {path_mp.stat().st_size/1e6:.1f} MB")
