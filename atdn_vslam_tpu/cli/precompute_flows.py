@@ -114,13 +114,20 @@ def main(argv: list[str] | None = None) -> int:
             pad = args.batch - count
             im1 = np.concatenate([im1, np.zeros((pad, h, w, 3), np.float32)])
             im2 = np.concatenate([im2, np.zeros((pad, h, w, 3), np.float32)])
+        # encode() returns the frame cache (fmap, stem-s2d format);
+        # both leaves shift by one batch position like the frames
         fmaps_new = encode(variables, jnp.asarray(im2))
-        fmap1 = jnp.concatenate([prev_fmap, fmaps_new[:-1]], axis=0)
+        fmap1 = jax.tree.map(
+            lambda p, n: jnp.concatenate([p, n[:-1]], axis=0),
+            prev_fmap, fmaps_new,
+        )
         flows = np.asarray(
             fwd(variables, jnp.asarray(im1), jnp.asarray(im2),
                 fmap1, fmaps_new)
         )
-        prev_fmap = fmaps_new[count - 1 : count]
+        prev_fmap = jax.tree.map(
+            lambda n: n[count - 1 : count], fmaps_new
+        )
         for j in range(count):
             writer.append(flows[j])
         done = start + count

@@ -32,15 +32,26 @@ class StemConv7x7s2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, preformatted: bool = False
+    ) -> jax.Array:
+        """``preformatted``: ``x`` is the precomputed
+        :func:`~atdn_vslam_tpu.ops.stem_conv.stem_s2d` tensor
+        (B, H/2, W/2, 4C) — the shared per-frame stem format; the
+        parameter shape is identical either way (same checkpoint)."""
+        cin = x.shape[-1] // 4 if preformatted else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (7, 7, x.shape[-1], self.features),
+            (7, 7, cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         xb = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
+        if preformatted:
+            return conv7x7s2_s2d(
+                xb, k, bias.astype(self.dtype), preformatted=True
+            )
         if x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0:
             return conv7x7s2_s2d(xb, k, bias.astype(self.dtype))
         dn = jax.lax.conv_dimension_numbers(
@@ -120,9 +131,16 @@ class BasicEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False,
+        preformatted: bool = False,
+    ) -> jax.Array:
+        """``preformatted``: ``x`` is the shared per-frame stem-s2d
+        tensor (see StemConv7x7s2) instead of the raw image."""
         x = x.astype(self.dtype)
-        x = StemConv7x7s2(64, dtype=self.dtype, name="Conv_0")(x)
+        x = StemConv7x7s2(64, dtype=self.dtype, name="Conv_0")(
+            x, preformatted=preformatted
+        )
         x = jax.nn.relu(_Norm(self.norm, self.dtype)(x, train))
         for features, stride in ((64, 1), (96, 2), (128, 2)):
             x = ResidualBlock(

@@ -43,6 +43,7 @@ from atdn_vslam_tpu.ops.corr_lookup import (
     build_corr_pyramid,
     lookup_corr_pyramid,
 )
+from atdn_vslam_tpu.ops.stem_conv import stem_s2d
 from atdn_vslam_tpu.ops.upsample import convex_upsample
 
 
@@ -181,19 +182,26 @@ class RAFTGMA(nn.Module):
 
         :param image1, image2: (B, H, W, 3) RGB in [0, 255]; H and W
             must be multiples of 8.
-        :param fmap1: optional cached feature map for ``image1`` (from a
-            previous call's ``return_features`` output / ``encode_only``).
-            In streaming video each frame is image2 of one pair and
-            image1 of the next — caching halves the feature-encoder
-            cost, the largest fixed cost of the pipeline. The reference
-            re-encodes both frames every pair (GMA/core/network.py:86).
-        :param fmap2: optional precomputed feature map for ``image2``
-            (chunked streaming encodes a whole chunk of frames in one
-            batched fnet pass and pairs the maps up shifted by one).
-        :param return_features: also return ``fmap2`` for reuse as the
-            next pair's ``fmap1`` (test mode only).
-        :param encode_only: run just the feature encoder on ``image1``
-            and return its feature map (bootstraps a streaming scan).
+        :param fmap1: optional FRAME CACHE for ``image1`` from a
+            previous call's ``return_features`` output / ``encode_only``
+            — a ``(feature map, stem-s2d format)`` pair (a plain
+            feature-map array is also accepted). In streaming video
+            each frame is image2 of one pair and image1 of the next —
+            the cached fmap halves the feature-encoder cost and the
+            cached s2d format lets cnet skip the ~0.5 ms/frame stem
+            layout transform (trace-measured; stem_s2d is network-
+            independent, so fnet and cnet share one format per frame).
+            The reference re-encodes both frames every pair
+            (GMA/core/network.py:86).
+        :param fmap2: optional precomputed feature map (or cache pair)
+            for ``image2`` (chunked streaming encodes a whole chunk of
+            frames in one batched fnet pass and pairs the maps up
+            shifted by one).
+        :param return_features: also return ``image2``'s frame cache
+            ``(fmap2, fmt2)`` for reuse as the next pair's ``fmap1``
+            (test mode only).
+        :param encode_only: encode ``image1`` only and return its frame
+            cache ``(fmap, fmt)`` (bootstraps a streaming scan).
         :return: test_mode -> (low-res flow (B, H/8, W/8, 2),
             upsampled flow (B, H, W, 2)), matching network.py:126-127
             (plus fmap2 if ``return_features``); otherwise a
@@ -206,8 +214,20 @@ class RAFTGMA(nn.Module):
             )
         image1 = 2.0 * (image1 / 255.0) - 1.0
         fnet = BasicEncoder(256, "instance", dtype=self.dtype)
+
+        # frame caches: (fmap, stem-s2d format). The s2d format is the
+        # same tensor for fnet and cnet (it depends only on the
+        # normalized image), so each frame is formatted exactly once
+        # and the format rides the streaming carry like the fmap.
+        fmt1 = fmt2 = None
+        if isinstance(fmap1, (tuple, list)):
+            fmap1, fmt1 = fmap1
+        if isinstance(fmap2, (tuple, list)):
+            fmap2, fmt2 = fmap2
+
         if encode_only:
-            return fnet(image1, train)
+            fmt = stem_s2d(image1.astype(self.dtype))
+            return fnet(fmt, train, preformatted=True), fmt
         image2 = 2.0 * (image2 / 255.0) - 1.0
 
         if fmap1 is None:
@@ -217,20 +237,31 @@ class RAFTGMA(nn.Module):
                     "(chunked precompute) or only fmap1 (streaming)"
                 )
             # feature encoder over both frames in one batched pass
-            fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
+            if fmt1 is None:
+                fmt1 = stem_s2d(image1.astype(self.dtype))
+            fmt2 = stem_s2d(image2.astype(self.dtype))
+            fmaps = fnet(
+                jnp.concatenate([fmt1, fmt2], axis=0), train,
+                preformatted=True,
+            )
             fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         elif fmap2 is None:
-            fmap2 = fnet(image2, train)
+            fmt2 = stem_s2d(image2.astype(self.dtype))
+            fmap2 = fnet(fmt2, train, preformatted=True)
         pyramid = tuple(
             build_corr_pyramid(
                 fmap1, fmap2, self.corr_levels, dtype=self.dtype
             )
         )
 
-        # context encoder + attention projections
+        # context encoder + attention projections; consumes the shared
+        # per-frame stem format (in streaming, image1's format comes
+        # from the previous step's cache — zero stem layout cost here)
+        if fmt1 is None:
+            fmt1 = stem_s2d(image1.astype(self.dtype))
         cnet = BasicEncoder(
             self.hidden_dim + self.context_dim, "batch", dtype=self.dtype
-        )(image1, train)
+        )(fmt1, train, preformatted=True)
         net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
         net = jnp.tanh(net)
         inp = jax.nn.relu(inp)
@@ -327,6 +358,6 @@ class RAFTGMA(nn.Module):
                 flow_low, final_mask.astype(jnp.float32)
             )
             if return_features:
-                return (flow_low, flow_up), fmap2
+                return (flow_low, flow_up), (fmap2, fmt2)
             return flow_low, flow_up
         return outs

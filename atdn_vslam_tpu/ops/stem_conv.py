@@ -25,25 +25,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def stem_s2d(x: jax.Array) -> jax.Array:
+    """Space-to-depth by the stem stride: (B, H, W, C) ->
+    (B, H/2, W/2, 4C), channel order (p, q, c) p-major.
+
+    This layout transform is NETWORK-INDEPENDENT: every 7x7 s2 stem
+    consuming the same image consumes the same s2d tensor. The device
+    trace prices it at ~0.5 ms/frame at KITTI resolution (tiled
+    transpose with a 3-channel minor dim — far off roofline), so the
+    streaming path computes it ONCE per frame and shares it between
+    fnet and cnet (each frame is image2 of one pair and image1 of the
+    next; models/flow/network.py threads it through the frame cache).
+    """
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError("stem_s2d requires even H, W")
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 def conv7x7s2_s2d(
-    x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
+    x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
+    preformatted: bool = False,
 ) -> jax.Array:
     """Exact equivalent of ``lax.conv(x, kernel, stride 2, SAME)`` for a
     7x7 kernel on even-sized inputs, via space-to-depth.
 
-    :param x: (B, H, W, C) with H, W even.
+    :param x: (B, H, W, C) with H, W even — or the precomputed
+        :func:`stem_s2d` tensor (B, H/2, W/2, 4C) with ``preformatted``.
     :param kernel: (7, 7, C, O) HWIO.
     :param bias: optional (O,).
     :return: (B, H/2, W/2, O).
     """
-    b, h, w, c = x.shape
     kh, kw, cin, cout = kernel.shape
-    if kh != 7 or kw != 7 or h % 2 or w % 2:
-        raise ValueError("conv7x7s2_s2d requires a 7x7 kernel and even H, W")
-
-    # space-to-depth: (B, H/2, W/2, (p, q, c)) — p-major channel order
-    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    if kh != 7 or kw != 7:
+        raise ValueError("conv7x7s2_s2d requires a 7x7 kernel")
+    xs = x if preformatted else stem_s2d(x)
 
     # kernel re-index: K[ka, p, kb, q] = W[2ka+p-1, 2kb+q-1] or 0
     idx = np.array([[2 * ka + p - 1 for p in range(2)] for ka in range(4)])

@@ -122,7 +122,10 @@ def export_stream_step(
         odo_model.init_carry(1),
     )
     pose_spec = jax.ShapeDtypeStruct((4, 4), jnp.float32)
-    fmap_spec = jax.ShapeDtypeStruct(fmap.shape, fmap.dtype)
+    # the frame cache is a (fmap, stem-format) pytree of specs
+    fmap_spec = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), fmap
+    )
 
     if bake_weights:
         fn = make_stream_step(flow_model, odo_model, (flow_vars, odo_vars))

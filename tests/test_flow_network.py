@@ -110,19 +110,30 @@ def test_feature_cache_streaming_equivalence(model_and_vars):
 
     low_ref, up_ref = model.apply(vars_, im1, im2, test_mode=True)
 
-    fmap1 = model.apply(vars_, im1, encode_only=True)
+    # encode_only returns the frame cache (fmap, stem-s2d format)
+    cache1 = model.apply(vars_, im1, encode_only=True)
+    fmap1, fmt1 = cache1
     assert fmap1.shape == (1, H // 8, W // 8, 256)
-    (low_c, up_c), fmap2 = model.apply(
-        vars_, im1, im2, test_mode=True, fmap1=fmap1, return_features=True
+    assert fmt1.shape == (1, H // 2, W // 2, 12)
+    (low_c, up_c), cache2 = model.apply(
+        vars_, im1, im2, test_mode=True, fmap1=cache1, return_features=True
     )
     np.testing.assert_allclose(
         np.asarray(low_c), np.asarray(low_ref), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(up_c), np.asarray(up_ref), atol=1e-5)
-    # the returned fmap2 chains: it equals encode_only(im2)
-    fmap2_ref = model.apply(vars_, im2, encode_only=True)
+    # the returned cache chains: it equals encode_only(im2)
+    cache2_ref = model.apply(vars_, im2, encode_only=True)
+    for got, ref in zip(jax.tree.leaves(cache2), jax.tree.leaves(cache2_ref)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5
+        )
+    # a PLAIN fmap array (no format) is still accepted (back-compat)
+    (low_p, up_p), _ = model.apply(
+        vars_, im1, im2, test_mode=True, fmap1=fmap1, return_features=True
+    )
     np.testing.assert_allclose(
-        np.asarray(fmap2), np.asarray(fmap2_ref), atol=1e-5
+        np.asarray(up_p), np.asarray(up_ref), atol=1e-5
     )
 
 

@@ -101,14 +101,17 @@ def main():
         fmap_prev = encode(vars_, frames[:1])  # (1, h8, w8, C)
         for s in range(0, N_FRAMES, B):
             new = encode(vars_, frames[s + 1:s + B + 1])  # B new frames
-            f1 = jnp.concatenate([fmap_prev, new[:-1]], axis=0)
+            f1 = jax.tree.map(
+                lambda pv, nw: jnp.concatenate([pv, nw[:-1]], axis=0),
+                fmap_prev, new,
+            )
             accs.append(
                 fwd_reuse(
                     vars_, frames[s:s + B], frames[s + 1:s + B + 1],
                     f1, new,
                 )
             )
-            fmap_prev = new[-1:]
+            fmap_prev = jax.tree.map(lambda nw: nw[-1:], new)
         return sum(accs[1:], accs[0])
 
     bench(f"(c) batched B={B}, fnet reuse", run_batched_reuse, N_FRAMES)
@@ -126,12 +129,15 @@ def main():
             im1 = jax.lax.dynamic_slice_in_dim(fr, s, B)
             im2 = jax.lax.dynamic_slice_in_dim(fr, s + 1, B)
             fmaps_new = model.apply(v, im2, encode_only=True)
-            f1 = jnp.concatenate([fmap_prev, fmaps_new[:-1]], axis=0)
+            f1 = jax.tree.map(
+                lambda pv, nw: jnp.concatenate([pv, nw[:-1]], axis=0),
+                fmap_prev, fmaps_new,
+            )
             _, up = model.apply(
                 v, im1, im2, test_mode=True, fmap1=f1, fmap2=fmaps_new
             )
             acc = acc + jnp.sum(up.astype(jnp.float32)) * 1e-30
-            return (acc, fmaps_new[-1:]), None
+            return (acc, jax.tree.map(lambda nw: nw[-1:], fmaps_new)), None
 
         fmap0 = model.apply(v, fr[:1], encode_only=True)
         (acc, _), _ = jax.lax.scan(

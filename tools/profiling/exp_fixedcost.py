@@ -79,16 +79,17 @@ def main():
     real_net_build = net_mod.build_corr_pyramid
     real_net_ups = net_mod.convex_upsample
 
-    def stub_enc_call(self, x, train=False):
+    def stub_enc_call(self, x, train=False, preformatted=False):
         # keep the param tree by initializing normally; at apply time
         # replace compute with a cheap projection that still depends on
         # every input pixel (sum) so nothing upstream is dead
         if self.is_initializing():
-            return real_enc_call(self, x, train)
+            return real_enc_call(self, x, train, preformatted)
         b = x.shape[0]
-        h8, w8 = x.shape[1] // 8, x.shape[2] // 8
+        s = 4 if preformatted else 8  # s2d input is half-res, 4C
+        h8, w8 = x.shape[1] // s, x.shape[2] // s
         dep = jnp.sum(x).astype(self.dtype) * jnp.asarray(1e-30, self.dtype)
-        base = x[:, ::8, ::8, :1].astype(self.dtype)
+        base = x[:, ::s, ::s, :1].astype(self.dtype)
         out = jnp.zeros((b, h8, w8, self.output_dim), self.dtype)
         return out + base * jnp.asarray(1e-30, self.dtype) + dep
 
