@@ -8,14 +8,16 @@ chains with loop-closure / relocalization constraints:
   * state: N absolute poses (R_i, t_i), first pose gauge-fixed;
   * residuals: for each edge (i, j) with measured relative transform
     Z_ij, r = log_SE3( Z_ij^-1 * (X_i^-1 * X_j) )  in R^6;
-  * solver: damped Gauss-Newton with the Jacobian applied via
-    ``jax.jacfwd`` on a *local tangent* parameterization and a dense
-    normal-equation solve — fully jittable, fixed iteration count
-    (``lax`` loops), so the whole refinement is ONE compiled kernel.
-    Dense solves are fine up to a few thousand keyframes (the keyframe
-    graph of a KITTI sequence is a few hundred nodes); the
-    Schur/psum-sharded variant over the device mesh is the designed
-    scale-out path.
+  * solver: damped Gauss-Newton on a *local tangent* parameterization.
+    Each edge depends on exactly two poses, so the edge Jacobian is two
+    (6, 6) blocks (``jax.jacfwd`` over a 12-dim per-edge tangent,
+    vmapped over edges) and the normal equations assemble by block
+    scatter-add — O(E) assembly + one dense Cholesky solve per
+    iteration, fully jittable with fixed iteration count (``lax``
+    loops), so the whole refinement is ONE compiled kernel. Dense
+    solves are fine up to a few thousand keyframes (the keyframe graph
+    of a KITTI sequence is a few hundred nodes); the Schur/psum-sharded
+    variant over the device mesh is the designed scale-out path.
 
 SE(3) log/exp here use the first-order-exact closed forms with
 small-angle guards, accurate for the small residuals a vSLAM graph
@@ -200,25 +202,55 @@ def optimize_pose_graph(
     w = jnp.ones((e,), poses.dtype) if weights is None else weights
     sqrt_w = jnp.sqrt(w)[:, None]
 
-    def residual_of_deltas(deltas: jax.Array, base: jax.Array) -> jax.Array:
-        """deltas: (N-1, 6) tangent updates for poses 1..N-1."""
-        full = jnp.concatenate(
-            [jnp.zeros((1, 6), deltas.dtype), deltas], axis=0
-        )
-        updated = base @ se3_exp(full)
-        r = edge_residuals(updated, edges_i, edges_j, measurements)
-        return (r * sqrt_w).reshape(-1)
+    # Sparse GN assembly: each edge depends on exactly TWO poses, so
+    # the edge Jacobian has two (6, 6) blocks — computed by jacfwd over
+    # a 12-dim per-edge tangent (vmapped over edges) instead of pushing
+    # all (N-1)*6 tangents through every residual (the dense jacfwd
+    # formulation measured 937 ms for a 200-node/204-edge graph on a
+    # v5e; this assembly is O(E) + one dense solve).
+    def edge_res(di, dj, xi, xj, z, sw):
+        pred = se3_inverse(xi @ se3_exp(di)) @ (xj @ se3_exp(dj))
+        return se3_log(se3_inverse(z) @ pred) * sw
+
+    edge_jac = jax.vmap(
+        jax.jacfwd(edge_res, argnums=(0, 1)), in_axes=(None, None, 0, 0, 0, 0)
+    )
 
     def gn_step(state, _):
         cur, _prev = state
-        zero = jnp.zeros((n - 1, 6), poses.dtype)
-        r0 = residual_of_deltas(zero, cur)
-        J = jax.jacfwd(residual_of_deltas)(zero, cur).reshape(
-            r0.shape[0], (n - 1) * 6
+        xi, xj = cur[edges_i], cur[edges_j]
+        r0 = edge_residuals(cur, edges_i, edges_j, measurements) * sqrt_w
+        zero6 = jnp.zeros((6,), poses.dtype)
+        ji, jj = edge_jac(zero6, zero6, xi, xj, measurements, sqrt_w)
+
+        # normal equations via block scatter-add: JtJ[(a, b)] +=
+        # Ja^T Jb for (a, b) in {i, j}^2; rhs[a] += -Ja^T r
+        jtj = jnp.zeros((n, 6, n, 6), poses.dtype)
+        jtj = jtj.at[edges_i, :, edges_i, :].add(
+            jnp.einsum("era,erb->eab", ji, ji)
         )
-        JtJ = J.T @ J + damping * jnp.eye((n - 1) * 6, dtype=poses.dtype)
-        rhs = -J.T @ r0
-        delta = jnp.linalg.solve(JtJ, rhs).reshape(n - 1, 6)
+        jtj = jtj.at[edges_j, :, edges_j, :].add(
+            jnp.einsum("era,erb->eab", jj, jj)
+        )
+        jtj = jtj.at[edges_i, :, edges_j, :].add(
+            jnp.einsum("era,erb->eab", ji, jj)
+        )
+        jtj = jtj.at[edges_j, :, edges_i, :].add(
+            jnp.einsum("era,erb->eab", jj, ji)
+        )
+        rhs = jnp.zeros((n, 6), poses.dtype)
+        rhs = rhs.at[edges_i].add(-jnp.einsum("era,er->ea", ji, r0))
+        rhs = rhs.at[edges_j].add(-jnp.einsum("era,er->ea", jj, r0))
+
+        # gauge: pose 0 fixed — drop its block row/column
+        m = (n - 1) * 6
+        A = jtj.reshape(n * 6, n * 6)[6:, 6:] + damping * jnp.eye(
+            m, dtype=poses.dtype
+        )
+        b = rhs.reshape(n * 6)[6:]
+        # JtJ is SPD (damped normal equations): Cholesky beats LU on TPU
+        L = jax.scipy.linalg.cho_factor(A, lower=True)
+        delta = jax.scipy.linalg.cho_solve(L, b).reshape(n - 1, 6)
         full = jnp.concatenate([jnp.zeros((1, 6), poses.dtype), delta], 0)
         new = cur @ se3_exp(full)
         return (new, jnp.mean(r0**2)), None
