@@ -33,13 +33,18 @@ class StemConv7x7s2(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, preformatted: bool = False
+        self, x: jax.Array, preformatted: bool = False,
+        planar: bool = False,
     ) -> jax.Array:
         """``preformatted``: ``x`` is the precomputed
         :func:`~atdn_vslam_tpu.ops.stem_conv.stem_s2d` tensor
-        (B, H/2, W/2, 4C) — the shared per-frame stem format; the
+        (B, H/2, W/2, 4C) — or its channel-major (B, 4C, H/2, W/2)
+        form with ``planar`` — the shared per-frame stem format; the
         parameter shape is identical either way (same checkpoint)."""
-        cin = x.shape[-1] // 4 if preformatted else x.shape[-1]
+        if preformatted:
+            cin = (x.shape[1] if planar else x.shape[-1]) // 4
+        else:
+            cin = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -50,7 +55,8 @@ class StemConv7x7s2(nn.Module):
         k = kernel.astype(self.dtype)
         if preformatted:
             return conv7x7s2_s2d(
-                xb, k, bias.astype(self.dtype), preformatted=True
+                xb, k, bias.astype(self.dtype), preformatted=True,
+                planar=planar,
             )
         if x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0:
             return conv7x7s2_s2d(xb, k, bias.astype(self.dtype))
@@ -65,10 +71,22 @@ class StemConv7x7s2(nn.Module):
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Non-affine instance norm over spatial dims (torch
-    InstanceNorm2d defaults: affine=False, no running stats)."""
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    var = jnp.var(x, axis=(-3, -2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    InstanceNorm2d defaults: affine=False, no running stats).
+
+    One-pass moments: ``jnp.var`` re-reads x after the mean reduction
+    (a serial dependency XLA cannot fuse — the five full-res stats
+    fusions in fnet trace at ~0.6 ms/frame at KITTI resolution);
+    sum and sum-of-squares reduce in a single fused pass over x with
+    float32 accumulators. E[x^2] - E[x]^2 cancellation is benign here
+    (activations are zero-centered-ish and f32-accumulated; GMA torch
+    parity stays ~3e-5, tests/test_gma_parity.py)."""
+    x32 = x.astype(jnp.float32)
+    n = x.shape[-3] * x.shape[-2]
+    s = jnp.sum(x32, axis=(-3, -2), keepdims=True)
+    ss = jnp.sum(x32 * x32, axis=(-3, -2), keepdims=True)
+    mean = s / n
+    var = jnp.maximum(ss / n - mean * mean, 0.0)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class _Norm(nn.Module):
@@ -133,13 +151,14 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False,
-        preformatted: bool = False,
+        preformatted: bool = False, planar: bool = False,
     ) -> jax.Array:
         """``preformatted``: ``x`` is the shared per-frame stem-s2d
-        tensor (see StemConv7x7s2) instead of the raw image."""
+        tensor (see StemConv7x7s2) instead of the raw image;
+        ``planar`` marks its channel-major NCHW form."""
         x = x.astype(self.dtype)
         x = StemConv7x7s2(64, dtype=self.dtype, name="Conv_0")(
-            x, preformatted=preformatted
+            x, preformatted=preformatted, planar=planar
         )
         x = jax.nn.relu(_Norm(self.norm, self.dtype)(x, train))
         for features, stride in ((64, 1), (96, 2), (128, 2)):

@@ -164,6 +164,12 @@ class RAFTGMA(nn.Module):
     #: counted once regardless of trip count — bench.py relies on this
     #: for its analytic FLOP/frame figure).
     scan_unroll: int = 1
+    #: carry the shared stem-s2d frame format channel-major
+    #: (B, 4C, H/2, W/2) instead of NHWC — the stem conv's preferred
+    #: input layout is channel-planar, and the NHWC assembly's
+    #: 2/3-wide-lane transposes run at ~10 GB/s (ops/stem_conv.py).
+    #: Changes only the cache layout, not any output value.
+    planar_stem: bool = False
 
     @nn.compact
     def __call__(
@@ -225,9 +231,12 @@ class RAFTGMA(nn.Module):
         if isinstance(fmap2, (tuple, list)):
             fmap2, fmt2 = fmap2
 
+        planar = self.planar_stem
         if encode_only:
-            fmt = stem_s2d(image1.astype(self.dtype))
-            return fnet(fmt, train, preformatted=True), fmt
+            fmt = stem_s2d(image1.astype(self.dtype), planar=planar)
+            return (
+                fnet(fmt, train, preformatted=True, planar=planar), fmt
+            )
         image2 = 2.0 * (image2 / 255.0) - 1.0
 
         if fmap1 is None:
@@ -238,19 +247,20 @@ class RAFTGMA(nn.Module):
                 )
             # feature encoder over both frames in one batched pass
             if fmt1 is None:
-                fmt1 = stem_s2d(image1.astype(self.dtype))
-            fmt2 = stem_s2d(image2.astype(self.dtype))
+                fmt1 = stem_s2d(image1.astype(self.dtype), planar=planar)
+            fmt2 = stem_s2d(image2.astype(self.dtype), planar=planar)
             fmaps = fnet(
                 jnp.concatenate([fmt1, fmt2], axis=0), train,
-                preformatted=True,
+                preformatted=True, planar=planar,
             )
             fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         elif fmap2 is None:
-            fmt2 = stem_s2d(image2.astype(self.dtype))
-            fmap2 = fnet(fmt2, train, preformatted=True)
+            fmt2 = stem_s2d(image2.astype(self.dtype), planar=planar)
+            fmap2 = fnet(fmt2, train, preformatted=True, planar=planar)
         pyramid = tuple(
             build_corr_pyramid(
-                fmap1, fmap2, self.corr_levels, dtype=self.dtype
+                fmap1, fmap2, self.corr_levels, dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )
         )
 
@@ -258,10 +268,10 @@ class RAFTGMA(nn.Module):
         # per-frame stem format (in streaming, image1's format comes
         # from the previous step's cache — zero stem layout cost here)
         if fmt1 is None:
-            fmt1 = stem_s2d(image1.astype(self.dtype))
+            fmt1 = stem_s2d(image1.astype(self.dtype), planar=planar)
         cnet = BasicEncoder(
             self.hidden_dim + self.context_dim, "batch", dtype=self.dtype
-        )(fmt1, train, preformatted=True)
+        )(fmt1, train, preformatted=True, planar=planar)
         net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
         net = jnp.tanh(net)
         inp = jax.nn.relu(inp)

@@ -17,11 +17,108 @@ is dormant there and needs no analogue.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from atdn_vslam_tpu.ops.bilinear import bilinear_sample
+
+
+def _corr_dot_kernel(f1_ref, f2_ref, out_ref, *, inv_sqrt_c):
+    a = f1_ref[0]  # (bm, c)
+    b = f2_ref[0]  # (bk, c)
+    acc = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = (acc * inv_sqrt_c).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+)
+def corr_dot_rowmajor(
+    f1: jax.Array,
+    f2: jax.Array,
+    inv_sqrt_c: float,
+    out_dtype=jnp.bfloat16,
+    bm: int = 512,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """``inv_sqrt_c * f1 @ f2^T`` written ROW-major — a Pallas matmul
+    whose only reason to exist is the OUTPUT LAYOUT.
+
+    XLA's own lowering of the all-pairs dot emits the (n, m) volume
+    with n in the lanes (``EmitOutputBatchInLanes``), but the
+    per-iteration lookup consumes it as the batched-matmul operand
+    [n][h][w] (w minor) — so the while-loop carry forces a full
+    relayout copy of the level-0 volume (105 MB bf16, traced at
+    0.31 ms/frame; operand-order einsum spellings cannot change this,
+    XLA canonicalizes them to the same dot). The Pallas grid writes
+    (bm, bk) output tiles in plain row-major, eliminating the copy;
+    n/m need not divide the block sizes (ragged trailing blocks are
+    masked by Mosaic).
+
+    Backward (flow TRAINING differentiates through the volume) is two
+    plain XLA einsums — the streaming inference path never runs them.
+    """
+    return _corr_dot_fwd(
+        f1, f2, inv_sqrt_c, out_dtype, bm, bk, interpret
+    )[0]
+
+
+def _corr_dot_fwd(f1, f2, inv_sqrt_c, out_dtype, bm, bk, interpret):
+    b, n, c = f1.shape
+    m = f2.shape[1]
+    grid = (b, pl.cdiv(n, bm), pl.cdiv(m, bk))
+    out = pl.pallas_call(
+        functools.partial(_corr_dot_kernel, inv_sqrt_c=inv_sqrt_c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bm, c), lambda b_, i, j: (b_, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, c), lambda b_, i, j: (b_, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, bk), lambda b_, i, j: (b_, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, m), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * m * c,
+            bytes_accessed=2 * b * (n * c + m * c + n * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f1, f2)
+    return out, (f1, f2)
+
+
+def _corr_dot_bwd(inv_sqrt_c, out_dtype, bm, bk, interpret, res, g):
+    f1, f2 = res
+    gf = g.astype(jnp.float32) * inv_sqrt_c
+    df1 = jnp.einsum(
+        "bnm,bmc->bnc", gf, f2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(f1.dtype)
+    df2 = jnp.einsum(
+        "bnm,bnc->bmc", gf, f1.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(f2.dtype)
+    return df1, df2
+
+
+corr_dot_rowmajor.defvjp(_corr_dot_fwd, _corr_dot_bwd)
 
 
 def build_corr_pyramid(
@@ -29,6 +126,8 @@ def build_corr_pyramid(
     fmap2: jax.Array,
     num_levels: int = 4,
     dtype=jnp.float32,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> list[jax.Array]:
     """All-pairs correlation + avg-pool pyramid.
 
@@ -61,21 +160,45 @@ def build_corr_pyramid(
     h2, w2 = fmap2.shape[1:3]
     f1 = fmap1.reshape(b, h1 * w1, c)
     inv_sqrt_c = 1.0 / float(np.sqrt(c))
+    # Auto resolves to the XLA path: the Pallas row-major dot was built
+    # to kill the 105 MB carry-relayout copy after the level-0 dot, but
+    # measured NEUTRAL end to end (25.83 vs 25.84 ms/frame on a v5e,
+    # bit-exact) — the while-loop carries the volume in an (h, w)-tiled
+    # physical layout (w padded 154->256 lanes), so XLA still inserts
+    # the same relayout after the kernel's flat-lane (n, m) output.
+    # Killing it for real would need the kernel to emit the tiled
+    # (b, n, h, w) form directly (per-h-row write grid, ~0.2 ms/frame
+    # ceiling) — not built; the kernel stays as a tested opt-in.
+    if use_pallas is None:
+        use_pallas = False
 
     pyramid = []
     f2l = fmap2
     hl, wl = h2, w2
     for level in range(num_levels):
-        # NOTE (measured): emitting the dot as (b, n, hl, wl) traces as
-        # TWO volume relayout copies (0.86 ms/pair) where the
-        # (b, n, m)+reshape form shows one (0.52 ms/pair) — yet the
-        # full pipeline runs FASTER with this form (34.0 vs 31.7 fps);
-        # the downstream layout choices it induces win globally.
-        corr = jnp.einsum(
-            "bnc,bhwc->bnhw", f1, f2l,
-            preferred_element_type=jnp.float32,
-        ) * inv_sqrt_c
-        pyramid.append(corr[..., None].astype(dtype))
+        if use_pallas:
+            # Pallas row-major dot: the XLA dot emits the volume with
+            # n in lanes and the update-loop carry then relayouts all
+            # ~105 MB to the lookup's [n][h][w] operand layout
+            # (0.31 ms/frame traced; see corr_dot_rowmajor docstring).
+            # custom_vjp: positional args only
+            corr = corr_dot_rowmajor(
+                f1, f2l.reshape(b, hl * wl, c), inv_sqrt_c, dtype,
+                512, 1024, interpret,
+            ).reshape(b, h1 * w1, hl, wl)
+            pyramid.append(corr[..., None])
+        else:
+            # NOTE (measured): emitting the dot as (b, n, hl, wl)
+            # traces as TWO volume relayout copies (0.86 ms/pair) where
+            # the (b, n, m)+reshape form shows one (0.52 ms/pair) — yet
+            # the full pipeline runs FASTER with this form (34.0 vs
+            # 31.7 fps); the downstream layout choices it induces win
+            # globally.
+            corr = jnp.einsum(
+                "bnc,bhwc->bnhw", f1, f2l,
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_c
+            pyramid.append(corr[..., None].astype(dtype))
         if level < num_levels - 1:
             h2_, w2_ = hl // 2, wl // 2
             f2l = f2l[:, : h2_ * 2, : w2_ * 2]

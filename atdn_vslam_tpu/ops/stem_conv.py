@@ -25,42 +25,58 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def stem_s2d(x: jax.Array) -> jax.Array:
+def stem_s2d(x: jax.Array, planar: bool = False) -> jax.Array:
     """Space-to-depth by the stem stride: (B, H, W, C) ->
-    (B, H/2, W/2, 4C), channel order (p, q, c) p-major.
+    (B, H/2, W/2, 4C), channel order (p, q, c) p-major — or, with
+    ``planar``, the channel-major (B, 4C, H/2, W/2) NCHW form.
 
     This layout transform is NETWORK-INDEPENDENT: every 7x7 s2 stem
     consuming the same image consumes the same s2d tensor. The device
-    trace prices it at ~0.5 ms/frame at KITTI resolution (tiled
-    transpose with a 3-channel minor dim — far off roofline), so the
-    streaming path computes it ONCE per frame and shares it between
-    fnet and cnet (each frame is image2 of one pair and image1 of the
-    next; models/flow/network.py threads it through the frame cache).
+    trace prices the NHWC form at ~0.5 ms/frame at KITTI resolution
+    (tiled transpose with a 3-channel minor dim — far off roofline),
+    so the streaming path computes it ONCE per frame and shares it
+    between fnet and cnet (each frame is image2 of one pair and
+    image1 of the next; models/flow/network.py threads it through the
+    frame cache).
+
+    ``planar`` exists because the consuming conv's preferred INPUT
+    layout is already channel-planar ([12][188][616] in the window
+    HLO): assembling the NHWC value only to have XLA relayout it is
+    pure waste; the planar form keeps every intermediate lane dim
+    full-width (H/2 or W/2, never the 2/3-wide split dims).
     """
     b, h, w, c = x.shape
     if h % 2 or w % 2:
         raise ValueError("stem_s2d requires even H, W")
+    if planar:
+        xp = jnp.transpose(x, (0, 3, 1, 2))          # (B, C, H, W)
+        xp = xp.reshape(b, c, h // 2, 2, w // 2, 2)  # (B,C,a,p,b,q)
+        xp = jnp.transpose(xp, (0, 3, 5, 1, 2, 4))   # (B,p,q,C,a,b)
+        return xp.reshape(b, 4 * c, h // 2, w // 2)
     xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
 def conv7x7s2_s2d(
     x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
-    preformatted: bool = False,
+    preformatted: bool = False, planar: bool = False,
 ) -> jax.Array:
     """Exact equivalent of ``lax.conv(x, kernel, stride 2, SAME)`` for a
     7x7 kernel on even-sized inputs, via space-to-depth.
 
     :param x: (B, H, W, C) with H, W even — or the precomputed
-        :func:`stem_s2d` tensor (B, H/2, W/2, 4C) with ``preformatted``.
+        :func:`stem_s2d` tensor (B, H/2, W/2, 4C) with ``preformatted``
+        ((B, 4C, H/2, W/2) with ``planar``).
     :param kernel: (7, 7, C, O) HWIO.
     :param bias: optional (O,).
+    :param planar: the s2d tensor is the channel-major NCHW form (see
+        :func:`stem_s2d`); output stays NHWC either way.
     :return: (B, H/2, W/2, O).
     """
     kh, kw, cin, cout = kernel.shape
     if kh != 7 or kw != 7:
         raise ValueError("conv7x7s2_s2d requires a 7x7 kernel")
-    xs = x if preformatted else stem_s2d(x)
+    xs = x if preformatted else stem_s2d(x, planar=planar)
 
     # kernel re-index: K[ka, p, kb, q] = W[2ka+p-1, 2kb+q-1] or 0
     idx = np.array([[2 * ka + p - 1 for p in range(2)] for ka in range(4)])
@@ -72,7 +88,8 @@ def conv7x7s2_s2d(
     kk = kk.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, cout)
 
     dn = jax.lax.conv_dimension_numbers(
-        xs.shape, kk.shape, ("NHWC", "HWIO", "NHWC")
+        xs.shape, kk.shape,
+        ("NCHW" if planar else "NHWC", "HWIO", "NHWC"),
     )
     # same dtype contract as nn.Conv (XLA's bf16 conv accumulates f32
     # internally); forcing preferred_element_type=f32 breaks reverse-

@@ -97,6 +97,35 @@ def test_gradients_flow_sequence_loss(model_and_vars):
     assert nonzero > len(leaves) * 0.8
 
 
+def test_planar_stem_format_equivalence(model_and_vars):
+    """planar_stem carries the shared stem-s2d frame format
+    channel-major (B, 4C, H/2, W/2); every output (joint, streaming,
+    encode_only fmap) must equal the NHWC-format model bit-for-bit —
+    only the cache layout differs."""
+    model, vars_ = model_and_vars
+    pm = model.clone(planar_stem=True)
+    rng = np.random.default_rng(17)
+    im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+
+    low_ref, up_ref = model.apply(vars_, im1, im2, test_mode=True)
+    low_p, up_p = pm.apply(vars_, im1, im2, test_mode=True)
+    np.testing.assert_array_equal(np.asarray(low_p), np.asarray(low_ref))
+    np.testing.assert_array_equal(np.asarray(up_p), np.asarray(up_ref))
+
+    fmap_p, fmt_p = pm.apply(vars_, im1, encode_only=True)
+    fmap_r, _ = model.apply(vars_, im1, encode_only=True)
+    assert fmt_p.shape == (1, 12, H // 2, W // 2)
+    np.testing.assert_array_equal(np.asarray(fmap_p), np.asarray(fmap_r))
+
+    low_s, up_s = pm.apply(
+        vars_, im1, im2, test_mode=True, fmap1=(fmap_p, fmt_p)
+    )
+    np.testing.assert_allclose(
+        np.asarray(up_s), np.asarray(up_ref), atol=1e-5
+    )
+
+
 def test_feature_cache_streaming_equivalence(model_and_vars):
     """Streaming feature cache: passing image1's cached fmap
     (encode_only / return_features) must reproduce the joint-encode

@@ -60,6 +60,45 @@ def test_corr_pyramid_shapes(rng):
     assert pyr[2].shape == (1, 96, 2, 3, 1)
 
 
+def test_corr_dot_rowmajor_matches_einsum(rng):
+    """Pallas row-major pyramid dot (interpret mode): values and
+    gradients equal the XLA einsum build, including ragged trailing
+    blocks (n=37, m=53 vs blocks 16/32)."""
+    from atdn_vslam_tpu.ops.corr_lookup import corr_dot_rowmajor
+
+    f1 = jnp.asarray(rng.normal(size=(1, 37, 24)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 53, 24)).astype(np.float32))
+    out = corr_dot_rowmajor(f1, f2, 0.5, jnp.float32, 16, 32, True)
+    ref = 0.5 * jnp.einsum("bnc,bmc->bnm", f1, f2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss_k(f1, f2):
+        return jnp.sum(
+            corr_dot_rowmajor(f1, f2, 0.5, jnp.float32, 16, 32, True) ** 2
+        )
+
+    def loss_r(f1, f2):
+        return jnp.sum((0.5 * jnp.einsum("bnc,bmc->bnm", f1, f2)) ** 2)
+
+    gk = jax.grad(loss_k, (0, 1))(f1, f2)
+    gr = jax.grad(loss_r, (0, 1))(f1, f2)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_corr_pyramid_pallas_matches_xla(rng):
+    """build_corr_pyramid(use_pallas=True, interpret) == XLA path at
+    every level."""
+    f1 = jnp.asarray(rng.normal(size=(1, 8, 12, 64)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 8, 12, 64)).astype(np.float32))
+    pa = build_corr_pyramid(f1, f2, 4, use_pallas=True, interpret=True)
+    pb = build_corr_pyramid(f1, f2, 4, use_pallas=False)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+
+
 def test_corr_values_are_scaled_dots(rng):
     c = 16
     f1 = jnp.asarray(rng.normal(size=(1, 4, 5, c)).astype(np.float32))
