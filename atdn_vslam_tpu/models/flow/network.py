@@ -43,7 +43,7 @@ from atdn_vslam_tpu.ops.corr_lookup import (
     build_corr_pyramid,
     lookup_corr_pyramid,
 )
-from atdn_vslam_tpu.ops.stem_conv import stem_s2d
+from atdn_vslam_tpu.ops.stem_conv import stem_s2d, stem_s2d_matmul
 from atdn_vslam_tpu.ops.upsample import convex_upsample
 
 
@@ -165,11 +165,13 @@ class RAFTGMA(nn.Module):
     #: for its analytic FLOP/frame figure).
     scan_unroll: int = 1
     #: carry the shared stem-s2d frame format channel-major
-    #: (B, 4C, H/2, W/2) instead of NHWC — the stem conv's preferred
-    #: input layout is channel-planar, and the NHWC assembly's
-    #: 2/3-wide-lane transposes run at ~10 GB/s (ops/stem_conv.py).
-    #: Changes only the cache layout, not any output value.
-    planar_stem: bool = False
+    #: (B, 4C, H/2, W/2) instead of NHWC. On TPU the planar format is
+    #: produced by one-hot selection matmuls (every XLA
+    #: reshape/transpose expression relayouts at ~10 GB/s): measured
+    #: 24.55 -> 24.01 ms/frame on the full streaming window,
+    #: bit-exact (ops/stem_conv.py stem_s2d_matmul). Changes only the
+    #: cache layout, never any output value (equality-tested).
+    planar_stem: bool = True
 
     @nn.compact
     def __call__(
@@ -232,8 +234,21 @@ class RAFTGMA(nn.Module):
             fmap2, fmt2 = fmap2
 
         planar = self.planar_stem
+
+        def fmt_of(img):
+            # shared per-frame stem format. Planar on TPU uses the
+            # one-hot-matmul space-to-depth: the reshape/transpose
+            # expression relayouts at ~10 GB/s — measured 24.55 ->
+            # 24.01 ms/frame on the full streaming window, bit-exact
+            # (ops/stem_conv.py stem_s2d_matmul).
+            if planar:
+                from atdn_vslam_tpu.utils.platform import is_tpu
+
+                if is_tpu():
+                    return stem_s2d_matmul(img, dtype=self.dtype)
+            return stem_s2d(img.astype(self.dtype), planar=planar)
         if encode_only:
-            fmt = stem_s2d(image1.astype(self.dtype), planar=planar)
+            fmt = fmt_of(image1)
             return (
                 fnet(fmt, train, preformatted=True, planar=planar), fmt
             )
@@ -247,15 +262,15 @@ class RAFTGMA(nn.Module):
                 )
             # feature encoder over both frames in one batched pass
             if fmt1 is None:
-                fmt1 = stem_s2d(image1.astype(self.dtype), planar=planar)
-            fmt2 = stem_s2d(image2.astype(self.dtype), planar=planar)
+                fmt1 = fmt_of(image1)
+            fmt2 = fmt_of(image2)
             fmaps = fnet(
                 jnp.concatenate([fmt1, fmt2], axis=0), train,
                 preformatted=True, planar=planar,
             )
             fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         elif fmap2 is None:
-            fmt2 = stem_s2d(image2.astype(self.dtype), planar=planar)
+            fmt2 = fmt_of(image2)
             fmap2 = fnet(fmt2, train, preformatted=True, planar=planar)
         pyramid = tuple(
             build_corr_pyramid(
@@ -268,7 +283,7 @@ class RAFTGMA(nn.Module):
         # per-frame stem format (in streaming, image1's format comes
         # from the previous step's cache — zero stem layout cost here)
         if fmt1 is None:
-            fmt1 = stem_s2d(image1.astype(self.dtype), planar=planar)
+            fmt1 = fmt_of(image1)
         cnet = BasicEncoder(
             self.hidden_dim + self.context_dim, "batch", dtype=self.dtype
         )(fmt1, train, preformatted=True, planar=planar)

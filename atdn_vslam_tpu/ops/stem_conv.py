@@ -25,6 +25,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def stem_s2d_matmul(
+    x: jax.Array, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Space-to-depth via one-hot selection MATMULS: (B, H, W, C)
+    float -> channel-planar (B, 4C, H/2, W/2) in ``dtype``
+    (bit-identical to ``stem_s2d(x.astype(dtype), planar=True)``).
+
+    Why matmuls: every XLA reshape/transpose expression of this
+    transform materializes an intermediate with a 2- or 3-wide lane
+    dimension and relayouts at ~10 GB/s (traced 0.51 ms/frame at KITTI
+    resolution; a broadcast-stub ceiling test prices the whole format
+    at 0.49 ms/frame). Strided-slice forms fare no better (2.8 ms
+    standalone) and Mosaic rejects strided vector slices inside Pallas
+    kernels ('expected strides to be confined to [1, 2)'). Expressing
+    the stride-2 row/column selection as two one-hot matmuls instead
+    (the same trick as the separable-bilinear corr lookup) keeps every
+    intermediate lane dimension full-width (W or W/2) and runs on the
+    MXU: ~4.5 GFLOP/frame, measured **24.55 -> 24.01 ms/frame**
+    (bit-exact) on the full streaming window on a v5e chip.
+
+    Each output element has exactly ONE contributing term through both
+    one-hot contractions, so the result is exact in any dtype.
+    """
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError("stem_s2d requires even H, W")
+    # layout-free for the producer: elementwise producers take any
+    # layout, so the planar transpose costs nothing in-graph
+    xp = jnp.transpose(x, (0, 3, 1, 2)).astype(dtype)  # (B, C, H, W)
+    ha = jnp.arange(h)[None, None, :]
+    aa = jnp.arange(h // 2)[None, :, None]
+    pp = jnp.arange(2)[:, None, None]
+    sel_rows = (ha == 2 * aa + pp).astype(dtype)       # (2, H/2, H)
+    ww = jnp.arange(w)[None, :, None]
+    bb = jnp.arange(w // 2)[None, None, :]
+    qq = jnp.arange(2)[:, None, None]
+    sel_cols = (ww == 2 * bb + qq).astype(dtype)       # (2, W, W/2)
+    left = jnp.einsum("pah,bchw->bpcaw", sel_rows, xp)
+    out = jnp.einsum("bpcaw,qwd->bpqcad", left, sel_cols)
+    # (p, q, c) channel order, minor dims untouched -> free reshape
+    return out.reshape(b, 4 * c, h // 2, w // 2)
+
+
 def stem_s2d(x: jax.Array, planar: bool = False) -> jax.Array:
     """Space-to-depth by the stem stride: (B, H, W, C) ->
     (B, H/2, W/2, 4C), channel order (p, q, c) p-major — or, with

@@ -98,12 +98,12 @@ def test_gradients_flow_sequence_loss(model_and_vars):
 
 
 def test_planar_stem_format_equivalence(model_and_vars):
-    """planar_stem carries the shared stem-s2d frame format
-    channel-major (B, 4C, H/2, W/2); every output (joint, streaming,
-    encode_only fmap) must equal the NHWC-format model bit-for-bit —
-    only the cache layout differs."""
-    model, vars_ = model_and_vars
-    pm = model.clone(planar_stem=True)
+    """planar_stem (the default) carries the shared stem-s2d frame
+    format channel-major (B, 4C, H/2, W/2); every output (joint,
+    streaming, encode_only fmap) must equal the NHWC-format model
+    bit-for-bit — only the cache layout differs."""
+    pm, vars_ = model_and_vars
+    model = pm.clone(planar_stem=False)
     rng = np.random.default_rng(17)
     im1 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
     im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
@@ -143,7 +143,7 @@ def test_feature_cache_streaming_equivalence(model_and_vars):
     cache1 = model.apply(vars_, im1, encode_only=True)
     fmap1, fmt1 = cache1
     assert fmap1.shape == (1, H // 8, W // 8, 256)
-    assert fmt1.shape == (1, H // 2, W // 2, 12)
+    assert fmt1.shape == (1, 12, H // 2, W // 2)  # planar (default)
     (low_c, up_c), cache2 = model.apply(
         vars_, im1, im2, test_mode=True, fmap1=cache1, return_features=True
     )

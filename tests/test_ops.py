@@ -60,6 +60,28 @@ def test_corr_pyramid_shapes(rng):
     assert pyr[2].shape == (1, 96, 2, 3, 1)
 
 
+def test_stem_s2d_matmul_matches_reference(rng):
+    """One-hot-matmul space-to-depth (the TPU planar-stem path) is
+    bit-identical to the reshape/transpose reference in f32 and bf16,
+    odd-channel and 2-channel inputs included."""
+    from atdn_vslam_tpu.ops.stem_conv import stem_s2d, stem_s2d_matmul
+
+    for shape, dt in (
+        ((1, 48, 64, 3), jnp.float32),
+        ((2, 40, 32, 2), jnp.float32),
+        ((1, 24, 16, 3), jnp.bfloat16),
+    ):
+        x = jnp.asarray(
+            rng.uniform(-1, 1, shape).astype(np.float32)
+        )
+        ref = stem_s2d(x.astype(dt), planar=True)
+        out = stem_s2d_matmul(x, dtype=dt)
+        assert out.dtype == ref.dtype
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32)
+        )
+
+
 def test_corr_dot_rowmajor_matches_einsum(rng):
     """Pallas row-major pyramid dot (interpret mode): values and
     gradients equal the XLA einsum build, including ragged trailing
