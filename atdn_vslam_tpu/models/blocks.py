@@ -45,6 +45,41 @@ def _batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
     )
 
 
+class _PlanarStem7x7s2(nn.Module):
+    """7x7/s2/SAME conv lowered via one-hot-matmul space-to-depth —
+    identical params ("kernel"/"bias" under this module's scope, same
+    shapes as nn.Conv) and identical math (ops/stem_conv.py)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from atdn_vslam_tpu.ops.stem_conv import (
+            conv7x7s2_s2d,
+            stem_s2d_matmul,
+        )
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        dt = self.dtype or x.dtype
+        fmt = stem_s2d_matmul(x, dtype=dt)
+        return conv7x7s2_s2d(
+            fmt, kernel.astype(dt),
+            None if bias is None else bias.astype(dt),
+            preformatted=True, planar=True,
+        )
+
+
 class ConvBlock(nn.Module):
     """Conv -> activation -> BatchNorm (ref: layers/conv.py:7-37)."""
 
@@ -60,27 +95,41 @@ class ConvBlock(nn.Module):
     #: on the (8x smaller) conv output either way. None = f32 path,
     #: bit-identical to the original block.
     dtype: Any = None
+    #: lower a 7x7/s2/p3 conv via the one-hot-matmul space-to-depth
+    #: (ops/stem_conv.py stem_s2d_matmul + planar conv). The round-1
+    #: reshape/transpose s2d REGRESSED here (34.0 -> 33.5 fps: at 2
+    #: input channels the input relayout outweighed the denser
+    #: contraction) — the matmul form deletes that relayout. Same
+    #: params/math (checkpoint-compatible; exact by construction).
+    s2d_planar: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = self.padding
         if isinstance(pad, tuple) and isinstance(pad[0], int):
             pad = tuple((p, p) for p in pad)
-        # NOTE (measured): lowering the ATDNVO 7x7 s2 stem via
-        # space-to-depth (like the flow encoders' StemConv7x7s2)
-        # REGRESSED the pipeline 34.0 -> 33.5 fps — at 2 input channels
-        # in f32 the extra input relayout outweighs the denser
-        # contraction. Keep the direct conv here.
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=pad,
-            kernel_dilation=self.dilation,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="Conv_0",
-        )(x)
+        if (
+            self.s2d_planar
+            and self.kernel_size == (7, 7)
+            and self.strides == (2, 2)
+            and self.padding == (3, 3)
+            and x.shape[-3] % 2 == 0
+            and x.shape[-2] % 2 == 0
+        ):
+            x = _PlanarStem7x7s2(
+                self.features, self.use_bias, self.dtype, name="Conv_0"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=pad,
+                kernel_dilation=self.dilation,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         x = x.astype(jnp.float32)
         x = self.activation(x)
         return _batch_norm(train)(x)

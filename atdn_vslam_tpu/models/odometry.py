@@ -50,6 +50,14 @@ class _Encoder(nn.Module):
     #: the stem's HBM traffic and doubles its MXU rate; everything from
     #: the 8x-smaller stem output on stays f32.
     stem_dtype: Any = None
+    #: lower the 7x7 s2 stem via one-hot-matmul space-to-depth
+    #: (ConvBlock.s2d_planar): same params, same math up to f32
+    #: summation order. Measured 25.22 -> 24.64 ms/frame on the full
+    #: streaming bench window (the round-1 reshape/transpose s2d
+    #: REGRESSED here; the matmul form deletes the input relayout
+    #: that caused it). Default on; set False for the reference's
+    #: exact direct-conv summation order.
+    stem_s2d_planar: bool = True
 
     @nn.compact
     def __call__(self, flow: jax.Array, train: bool = False) -> jax.Array:
@@ -63,6 +71,7 @@ class _Encoder(nn.Module):
             x = ConvBlock(
                 16, (7, 7), (2, 2), (3, 3), activation=mish,
                 dtype=self.stem_dtype,
+                s2d_planar=self.stem_s2d_planar,
             )(x, train)
             for _ in range(4):
                 x = ResidualConvBlock(16, (2, 2), activation=mish)(x, train)
@@ -97,12 +106,15 @@ class ATDNVO(nn.Module):
     #: see _Encoder.stem_dtype (accuracy/perf measured in
     #: tools/profiling/exp_bf16_stem.py; STATUS round-4 entry)
     stem_dtype: Any = None
+    #: see _Encoder.stem_s2d_planar
+    stem_s2d_planar: bool = True
 
     def setup(self):
         self.encoder = _Encoder(
             self.in_channels, self.compressor,
             self.use_dropout, self.use_layernorm,
             stem_dtype=self.stem_dtype,
+            stem_s2d_planar=self.stem_s2d_planar,
         )
         self.lstm1 = nn.LSTMCell(self.lstm_size)
         self.lstm_linear = LinearBlock(
