@@ -82,3 +82,29 @@ def test_batchnorm_running_stats_update():
     new_mean = jax.tree.leaves(mutated["batch_stats"])[0]
     old_mean = jax.tree.leaves(vars_["batch_stats"])[0]
     assert not np.allclose(np.asarray(new_mean), np.asarray(old_mean))
+
+
+def test_convblock_s2d_planar_matches_direct_conv():
+    """The one-hot-matmul s2d lowering of the 7x7/s2/p3 ConvBlock (the
+    ATDNVO stem path) shares parameters with the direct conv and
+    matches its output to f32 summation-order tolerance; odd sizes
+    fall back to the direct conv exactly."""
+    m0 = ConvBlock(16, (7, 7), (2, 2), (3, 3))
+    m1 = ConvBlock(16, (7, 7), (2, 2), (3, 3), s2d_planar=True)
+    x = jax.random.normal(jax.random.key(0), (2, 24, 32, 2)) * 5
+    vars_ = m0.init(jax.random.key(1), x)
+    assert jax.tree.structure(vars_) == jax.tree.structure(
+        m1.init(jax.random.key(1), x)
+    )
+    y0 = m0.apply(vars_, x)
+    y1 = m1.apply(vars_, x)
+    assert y1.shape == y0.shape
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), atol=1e-5
+    )
+    # odd input sizes take the direct-conv fallback bit-exactly
+    xo = jax.random.normal(jax.random.key(2), (1, 23, 31, 2))
+    vo = m0.init(jax.random.key(3), xo)
+    np.testing.assert_array_equal(
+        np.asarray(m1.apply(vo, xo)), np.asarray(m0.apply(vo, xo))
+    )
