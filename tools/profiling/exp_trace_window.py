@@ -51,7 +51,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
-    flow_model = RAFTGMA(iters=12, dtype=jnp.bfloat16, planar_stem="planar" in sys.argv)
+    flow_model = RAFTGMA(iters=12, dtype=jnp.bfloat16,
+                     planar_stem="nhwc" not in sys.argv)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.uniform(0, 255, (n_frames + 1, H, W, 3)).astype(np.float32)
@@ -76,7 +77,8 @@ def main():
         return pose
 
     np.asarray(run_window(flow_vars, frames))  # compile + warm
-    trace_dir = "/tmp/trace_window_planar" if "planar" in sys.argv else "/tmp/trace_window"
+    trace_dir = ("/tmp/trace_window_nhwc" if "nhwc" in sys.argv
+             else "/tmp/trace_window")
     os.system(f"rm -rf {trace_dir}")
     jax.profiler.start_trace(trace_dir)
     np.asarray(run_window(flow_vars, frames))
