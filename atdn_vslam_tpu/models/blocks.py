@@ -113,6 +113,7 @@ class ConvBlock(nn.Module):
             and self.kernel_size == (7, 7)
             and self.strides == (2, 2)
             and self.padding == (3, 3)
+            and self.dilation == (1, 1)
             and x.shape[-3] % 2 == 0
             and x.shape[-2] % 2 == 0
         ):
