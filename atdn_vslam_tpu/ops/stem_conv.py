@@ -84,9 +84,12 @@ def stem_s2d(x: jax.Array, planar: bool = False) -> jax.Array:
 
     ``planar`` exists because the consuming conv's preferred INPUT
     layout is already channel-planar ([12][188][616] in the window
-    HLO): assembling the NHWC value only to have XLA relayout it is
-    pure waste; the planar form keeps every intermediate lane dim
-    full-width (H/2 or W/2, never the 2/3-wide split dims).
+    HLO). NOTE: this XLA reshape/transpose expression of the planar
+    form still relayouts at ~10 GB/s (its own intermediates carry the
+    2/3-wide lane dims — trace-verified identical cost to the NHWC
+    form); the fast path is :func:`stem_s2d_matmul`, which the
+    network uses on TPU. This function is the CPU/reference
+    implementation both paths are tested against.
     """
     b, h, w, c = x.shape
     if h % 2 or w % 2:
