@@ -92,8 +92,11 @@ class ConvBlock(nn.Module):
     use_bias: bool = True
     #: optional conv COMPUTE dtype (e.g. bf16 for the full-res ATDNVO
     #: stem); params stay f32 and the activation+batchnorm run in f32
-    #: on the (8x smaller) conv output either way. None = f32 path,
-    #: bit-identical to the original block.
+    #: on the (8x smaller) conv output either way. None = f32 compute;
+    #: bit-identical to the original block when ``s2d_planar`` is off —
+    #: with ``s2d_planar`` (the shipped ATDNVO default) the result is
+    #: exact up to f32 summation order (~1e-5), because the one-hot-
+    #: matmul stem contracts the taps in a different order.
     dtype: Any = None
     #: lower a 7x7/s2/p3 conv via the one-hot-matmul space-to-depth
     #: (ops/stem_conv.py stem_s2d_matmul + planar conv). The round-1

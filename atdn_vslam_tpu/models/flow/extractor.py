@@ -77,9 +77,19 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     (a serial dependency XLA cannot fuse — the five full-res stats
     fusions in fnet trace at ~0.6 ms/frame at KITTI resolution);
     sum and sum-of-squares reduce in a single fused pass over x with
-    float32 accumulators. E[x^2] - E[x]^2 cancellation is benign here
-    (activations are zero-centered-ish and f32-accumulated; GMA torch
-    parity stays ~3e-5, tests/test_gma_parity.py)."""
+    float32 accumulators.
+
+    E[x^2] - E[x]^2 cancellation (advisor round-4 note): a per-channel
+    shift before the sum-of-squares (subtracting the [0, 0] sample)
+    was BUILT AND MEASURED in round 5 — it costs 0.52 ms/frame on the
+    full streaming window (24.34 -> 24.86 ms, same-process A/B on a
+    v5e: the shift couples a second operand into all five stats
+    fusions), so the unshifted form stays. The cancellation is bounded
+    in distribution: these are conv pre-activations whose |mean|/std
+    stays O(1) (losing ~1 of 24 mantissa bits); catastrophic loss
+    needs |mean|/std ~ 2^12, far outside anything a trained encoder
+    produces. f32 accumulators + GMA torch parity ~3e-5 at full res
+    (tests/test_gma_parity.py) cover the shipped regime."""
     x32 = x.astype(jnp.float32)
     n = x.shape[-3] * x.shape[-2]
     s = jnp.sum(x32, axis=(-3, -2), keepdims=True)

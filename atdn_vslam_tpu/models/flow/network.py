@@ -69,6 +69,7 @@ class _UpdateStep(nn.Module):
     position_only: bool = False
     spatial_mesh: Any = None
     spatial_axis: str | None = None
+    corr_nlanes: bool = False
 
     @nn.compact
     def __call__(self, carry, inp, q, k, bias, probs, pyramid,
@@ -101,7 +102,16 @@ class _UpdateStep(nn.Module):
         # conv instead) REGRESSED the pipeline 34.0 -> 32.2 fps on a
         # v5e chip despite the per-op trace suggesting otherwise —
         # XLA's global layout propagation beats local reasoning here.
-        corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
+        if self.corr_nlanes:
+            from atdn_vslam_tpu.ops.corr_lookup_nlanes import (
+                lookup_corr_pyramid_nlanes,
+            )
+
+            corr = lookup_corr_pyramid_nlanes(
+                pyramid, coords1, self.corr_radius
+            )
+        else:
+            corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
         flow = coords1 - coords0
 
         net, up_mask, delta_flow = GMAUpdateBlock(
@@ -172,6 +182,23 @@ class RAFTGMA(nn.Module):
     #: bit-exact (ops/stem_conv.py stem_s2d_matmul). Changes only the
     #: cache layout, never any output value (equality-tested).
     planar_stem: bool = True
+    #: which lowering produces the planar stem format (both are
+    #: bit-exact, perf-only): "matmul" = one-hot-matmul space-to-depth
+    #: (the TPU fast path), "reshape" = XLA reshape/transpose, "auto" =
+    #: matmul iff ``jax.default_backend()`` is TPU **at trace time** —
+    #: a program lowered on one backend for execution on another (AOT
+    #: lowering, jax export) bakes in the tracing backend's branch, so
+    #: AOT users targeting TPU from a CPU host should set "matmul"
+    #: explicitly.
+    planar_impl: str = "auto"
+    #: store correlation levels 1-3 TRANSPOSED (B, Hl, Wl, N) — queries
+    #: in lanes — and sample them with the Pallas VPU window kernel
+    #: instead of the separable batched matmuls: the (Hl, Wl)-tiled
+    #: carry pads the small levels 73-93 % (~89 MB physical vs ~27
+    #: logical per frame), which the lookup re-reads every iteration
+    #: (ops/corr_lookup_nlanes.py). Inference only: training calls
+    #: (test_mode=False) keep the XLA path (the kernel has no VJP).
+    corr_nlanes: bool = False
 
     @nn.compact
     def __call__(
@@ -240,11 +267,16 @@ class RAFTGMA(nn.Module):
             # one-hot-matmul space-to-depth: the reshape/transpose
             # expression relayouts at ~10 GB/s — measured 24.55 ->
             # 24.01 ms/frame on the full streaming window, bit-exact
-            # (ops/stem_conv.py stem_s2d_matmul).
+            # (ops/stem_conv.py stem_s2d_matmul). ``planar_impl``
+            # overrides the (trace-time!) backend dispatch for AOT
+            # lowering — see the attribute docstring.
             if planar:
-                from atdn_vslam_tpu.utils.platform import is_tpu
+                use_matmul = self.planar_impl == "matmul"
+                if self.planar_impl == "auto":
+                    from atdn_vslam_tpu.utils.platform import is_tpu
 
-                if is_tpu():
+                    use_matmul = is_tpu()
+                if use_matmul:
                     return stem_s2d_matmul(img, dtype=self.dtype)
             return stem_s2d(img.astype(self.dtype), planar=planar)
         if encode_only:
@@ -272,12 +304,24 @@ class RAFTGMA(nn.Module):
         elif fmap2 is None:
             fmt2 = fmt_of(image2)
             fmap2 = fnet(fmt2, train, preformatted=True, planar=planar)
-        pyramid = tuple(
-            build_corr_pyramid(
-                fmap1, fmap2, self.corr_levels, dtype=self.dtype,
-                use_pallas=self.use_pallas,
+        corr_nlanes = self.corr_nlanes and test_mode
+        if corr_nlanes:
+            from atdn_vslam_tpu.ops.corr_lookup_nlanes import (
+                build_corr_pyramid_nlanes,
             )
-        )
+
+            pyramid = tuple(
+                build_corr_pyramid_nlanes(
+                    fmap1, fmap2, self.corr_levels, dtype=self.dtype
+                )
+            )
+        else:
+            pyramid = tuple(
+                build_corr_pyramid(
+                    fmap1, fmap2, self.corr_levels, dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                )
+            )
 
         # context encoder + attention projections; consumes the shared
         # per-frame stem format (in streaming, image1's format comes
@@ -336,6 +380,7 @@ class RAFTGMA(nn.Module):
             self.position_only,
             spatial_mesh=self.spatial_mesh,
             spatial_axis=self.spatial_axis,
+            corr_nlanes=corr_nlanes,
             name="update",
         )
         carry = (net, coords1)

@@ -66,6 +66,14 @@ def corr_dot_rowmajor(
 
     Backward (flow TRAINING differentiates through the volume) is two
     plain XLA einsums — the streaming inference path never runs them.
+
+    VMEM sizing: the default bm=512/bk=1024 blocking holds
+    (bm + bk) * c elements of f1/f2 plus a (bm, bk) f32 output block in
+    VMEM — sized for c <= ~1k (c=256 at the production shape; ~2 MB in,
+    2 MB out). Larger feature dims need smaller blocks. The compiled
+    Mosaic path is chip-tested by
+    tests/test_ops.py::test_corr_dot_rowmajor_compiled_tpu
+    (ATDN_TEST_TPU=1, -m tpu); CI covers interpret mode only.
     """
     return _corr_dot_fwd(
         f1, f2, inv_sqrt_c, out_dtype, bm, bk, interpret

@@ -23,6 +23,7 @@ Modes: idle -> odometry -> mapping -> relocalization
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Any
 
 import jax
@@ -104,6 +105,14 @@ class SlamRuntime:
         self._carry = self.odometry_model.init_carry(1)
         self._image_buffer: jax.Array | None = None
         self._stream_fmap: jax.Array | None = None
+        # per-keyframe flow feature-map cache (LRU): the relocalization
+        # refine and closure measurement re-encode their keyframe side
+        # on every query otherwise — a cold pair costs ~40 ms vs ~25
+        # with the keyframe fmap cached (round-5 trace: the batch-2
+        # cold fnet pass alone is ~15 ms on a v5e). Keyframe RGBs are
+        # immutable per index, so entries never go stale.
+        self._kf_fmap_cache: "OrderedDict[int, Any]" = OrderedDict()
+        self._kf_fmap_cache_cap = 32  # ~7-9 MB HBM per entry
         self._warm_start = bool(
             getattr(config.slam, "flow_warm_start", False)
         )
@@ -576,6 +585,24 @@ class SlamRuntime:
                 break
         return selected
 
+    def _keyframe_fmap(self, idx: int, im: jax.Array):
+        """Flow feature map (+ stem format) of keyframe ``idx``,
+        LRU-cached on device. Keyframe RGBs are immutable per index,
+        so entries never go stale; the cap bounds HBM (~7-9 MB/entry
+        at KITTI resolution). Cuts the relocalization refine from a
+        cold batch-2 encode (~40 ms/query traced) to the streamed-pair
+        regime (~25 ms) — the reference re-encodes both frames every
+        refine (neural_slam.py:387-399)."""
+        fmap = self._kf_fmap_cache.get(idx)
+        if fmap is not None:
+            self._kf_fmap_cache.move_to_end(idx)
+            return fmap
+        fmap = self._fnet(self._flow_vars, im)
+        self._kf_fmap_cache[idx] = fmap
+        while len(self._kf_fmap_cache) > self._kf_fmap_cache_cap:
+            self._kf_fmap_cache.popitem(last=False)
+        return fmap
+
     def measure_closure(self, i: int, j: int) -> np.ndarray:
         """Measure keyframe j's pose in keyframe i's frame with the
         flow+odometry frontend (fresh LSTM carry — a single-pair
@@ -584,7 +611,8 @@ class SlamRuntime:
         im_j = self._prepare(self.keyframes.read_rgb(j))
         carry = self.odometry_model.init_carry(1)
         mat, _flow, _low, _carry, _fmap = self._odometry_step(
-            self._flow_vars, self._odo_vars, im_i, im_j, carry
+            self._flow_vars, self._odo_vars, im_i, im_j, carry,
+            self._keyframe_fmap(i, im_i),
         )
         return np.asarray(mat, np.float64)
 
@@ -700,7 +728,8 @@ class SlamRuntime:
         key_rgb = self._prepare(self.keyframes.read_rgb(idx))
         carry = self.odometry_model.init_carry(1)
         mat, _flow, _low, _carry, _fmap = self._odometry_step(
-            self._flow_vars, self._odo_vars, key_rgb, im, carry
+            self._flow_vars, self._odo_vars, key_rgb, im, carry,
+            self._keyframe_fmap(idx, key_rgb),
         )
         refined = initial @ np.asarray(mat, np.float64)
         return initial, refined, distances
