@@ -50,6 +50,11 @@ class MappingModelConfig:
     variational: bool = False
     channels: tuple[int, ...] = (16, 16, 32, 64, 128, 128)
     latent_channels: int = 128
+    #: "float32" (reference numerics) or "bfloat16" (TPU fast path —
+    #: the full-res small-channel conv stacks are bandwidth-bound;
+    #: round-5 chip numbers in STATUS.md). Params, batchnorm stats,
+    #: and returned mu/latent/decoded stay f32 either way.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -39,9 +39,15 @@ Activation = Callable[[jax.Array], jax.Array]
 
 
 def _batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
-    # torch BatchNorm2d defaults: momentum 0.1 (-> flax 0.9), eps 1e-5
+    # torch BatchNorm2d defaults: momentum 0.1 (-> flax 0.9), eps 1e-5.
+    # dtype pinned to f32: with bf16 block chains (MappingVAE
+    # compute_dtype) the batch statistics must still accumulate in f32
+    # — flax otherwise infers the compute dtype from the input and a
+    # bf16 mean over ~7M pixels loses most of its bits. Behavior-
+    # identical for f32 inputs.
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, name=name
     )
 
 
@@ -105,6 +111,13 @@ class ConvBlock(nn.Module):
     #: contraction) — the matmul form deletes that relayout. Same
     #: params/math (checkpoint-compatible; exact by construction).
     s2d_planar: bool = False
+    #: dtype the activation+batchnorm chain RETURNS. None (default) =
+    #: f32, the reference numerics. bf16 keeps whole block CHAINS in
+    #: bf16 (MappingVAE compute_dtype: full-res small-channel stacks
+    #: are bandwidth-bound, and per-block f32<->bf16 casts would eat
+    #: the saving); batch statistics still accumulate in f32
+    #: (_batch_norm pins its compute dtype).
+    act_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -134,34 +147,49 @@ class ConvBlock(nn.Module):
                 dtype=self.dtype,
                 name="Conv_0",
             )(x)
-        x = x.astype(jnp.float32)
+        x = x.astype(self.act_dtype or jnp.float32)
         x = self.activation(x)
-        return _batch_norm(train)(x)
+        out = _batch_norm(train)(x)
+        if self.act_dtype is not None:
+            out = out.astype(self.act_dtype)
+        return out
 
 
 class ResidualConvBlock(nn.Module):
     """Two ConvBlocks + strided 1x1 skip, then act+bn on the sum
-    (ref: layers/conv.py:40-90)."""
+    (ref: layers/conv.py:40-90).
+
+    ``dtype``: optional COMPUTE dtype for the whole block (convs,
+    activations, and the inter-block chain; batchnorm statistics stay
+    f32). None = f32, reference numerics."""
 
     features: int
     strides: tuple[int, int] = (1, 1)
     activation: Activation = mish
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_features = x.shape[-1]
         y = ConvBlock(
-            in_features, (3, 3), (1, 1), (1, 1), activation=self.activation
+            in_features, (3, 3), (1, 1), (1, 1),
+            activation=self.activation, dtype=self.dtype,
+            act_dtype=self.dtype,
         )(x, train)
         y = ConvBlock(
             self.features, (3, 3), self.strides, (1, 1),
-            activation=self.activation,
+            activation=self.activation, dtype=self.dtype,
+            act_dtype=self.dtype,
         )(y, train)
         skip = nn.Conv(
-            self.features, (1, 1), strides=self.strides, padding="VALID"
+            self.features, (1, 1), strides=self.strides, padding="VALID",
+            dtype=self.dtype,
         )(x)
         out = self.activation(y + skip)
-        return _batch_norm(train)(out)
+        out = _batch_norm(train)(out)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return out
 
 
 class TransposedConvBlock(nn.Module):
@@ -177,11 +205,16 @@ class TransposedConvBlock(nn.Module):
     strides: tuple[int, int] = (2, 2)
     padding: tuple[int, int] = (1, 1)
     activation: Activation = mish
+    #: optional COMPUTE dtype for the whole block (see
+    #: ResidualConvBlock); None = f32, reference numerics.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         y = ConvBlock(
-            self.features, (3, 3), (1, 1), (1, 1), activation=self.activation
+            self.features, (3, 3), (1, 1), (1, 1),
+            activation=self.activation, dtype=self.dtype,
+            act_dtype=self.dtype,
         )(x, train)
         tp_pad = tuple(
             (k - 1 - p, k - 1 - p)
@@ -192,16 +225,24 @@ class TransposedConvBlock(nn.Module):
             self.kernel_size,
             strides=self.strides,
             padding=tp_pad,
+            dtype=self.dtype,
         )(y)
-        y = self.activation(y)
+        y = self.activation(y.astype(self.dtype or jnp.float32))
         y = _batch_norm(train)(y)
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
 
         skip = jax.image.resize(
             x, (*x.shape[:-3], *y.shape[-3:-1], x.shape[-1]), method="bilinear"
         )
-        skip = nn.Conv(self.features, (1, 1), padding="VALID")(skip)
+        skip = nn.Conv(
+            self.features, (1, 1), padding="VALID", dtype=self.dtype
+        )(skip)
         out = self.activation(y + skip)
-        return _batch_norm(train)(out)
+        out = _batch_norm(train)(out)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return out
 
 
 class DUCBlock(nn.Module):

@@ -41,10 +41,21 @@ def build_flow_model(config: Config, on_tpu: bool | None = None) -> RAFTGMA:
     )
 
 
-def build_mapping_model(config: Config) -> MappingVAE:
+def build_mapping_model(
+    config: Config, on_tpu: bool | None = None
+) -> MappingVAE:
+    if on_tpu is None:
+        on_tpu = is_tpu()
     c = config.mapping
     return MappingVAE(
         variational=c.variational,
         channels=c.channels,
         latent_channels=c.latent_channels,
+        # bf16 compute only where it pays (TPU); CPU tests/hosts keep
+        # f32 (same policy as the flow net's mixed_precision knob)
+        dtype=(
+            jnp.bfloat16
+            if (c.compute_dtype == "bfloat16" and on_tpu)
+            else None
+        ),
     )

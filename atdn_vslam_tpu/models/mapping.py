@@ -53,28 +53,51 @@ class MappingVAE(nn.Module):
     variational: bool = False
     channels: tuple[int, ...] = (16, 16, 32, 64, 128, 128)
     latent_channels: int = 128
+    #: optional COMPUTE dtype (e.g. bf16): full-res small-channel conv
+    #: stacks are bandwidth-bound, so the whole encode/decode chain
+    #: runs in this dtype (batchnorm statistics and the parameters
+    #: stay f32; mu/latent/decoded are returned f32). None = f32, the
+    #: reference numerics (the ref's mapping loop never autocasts,
+    #: neural_slam.py:305-352). Chip-measured in round 5 — see
+    #: STATUS.md.
+    dtype: Any = None
 
     def setup(self):
-        self.stem = ConvBlock(3, (7, 7), (1, 1), (3, 3), activation=mish)
+        self.stem = ConvBlock(
+            3, (7, 7), (1, 1), (3, 3), activation=mish,
+            dtype=self.dtype, act_dtype=self.dtype,
+        )
         self.down = [
-            ResidualConvBlock(ch, (2, 2), activation=mish)
+            ResidualConvBlock(
+                ch, (2, 2), activation=mish, dtype=self.dtype
+            )
             for ch in self.channels
         ]
-        self.mean_lin = nn.Conv(self.latent_channels, (1, 1), padding="VALID")
+        self.mean_lin = nn.Conv(
+            self.latent_channels, (1, 1), padding="VALID", dtype=self.dtype
+        )
         if self.variational:
             self.sigma_lin = nn.Conv(
-                self.latent_channels, (1, 1), padding="VALID"
+                self.latent_channels, (1, 1), padding="VALID",
+                dtype=self.dtype,
             )
         up_channels = (*reversed(self.channels[:-1]), 8)
         self.up = [
-            TransposedConvBlock(ch, (3, 3), (2, 2), (1, 1), activation=mish)
+            TransposedConvBlock(
+                ch, (3, 3), (2, 2), (1, 1), activation=mish,
+                dtype=self.dtype,
+            )
             for ch in up_channels
         ]
-        self.out_conv = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)))
+        self.out_conv = nn.Conv(
+            3, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype
+        )
 
     def encode(self, image: jax.Array, train: bool = False) -> jax.Array:
         """RGB [0,255] NHWC -> pre-bottleneck feature map."""
         x = normalize_rgb(image)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = self.stem(x, train)
         for block in self.down:
             x = block(x, train)
@@ -82,9 +105,11 @@ class MappingVAE(nn.Module):
 
     def decode(self, latent: jax.Array, train: bool = False) -> jax.Array:
         x = latent
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for block in self.up:
             x = block(x, train)
-        return self.out_conv(x)
+        return self.out_conv(x).astype(jnp.float32)
 
     def __call__(
         self,
@@ -96,15 +121,15 @@ class MappingVAE(nn.Module):
         forward (network.py:57-77)."""
         encoded = self.encode(image, train)
         if self.variational:
-            mu = self.mean_lin(encoded)
-            logvar = self.sigma_lin(encoded)
+            mu = self.mean_lin(encoded).astype(jnp.float32)
+            logvar = self.sigma_lin(encoded).astype(jnp.float32)
             sigma = jnp.exp(0.5 * logvar)
             if rng is None:
                 rng = self.make_rng("reparam")
             eps = jax.random.normal(rng, sigma.shape, sigma.dtype)
             latent = mu + sigma * eps
         else:
-            latent = self.mean_lin(encoded)
+            latent = self.mean_lin(encoded).astype(jnp.float32)
             mu = latent
             logvar = None
         decoded = self.decode(latent, train)
@@ -114,4 +139,6 @@ class MappingVAE(nn.Module):
         """Latent embedding for relocalization NN search
         (ref network.py:80-84; the reference's ``self.norm`` there is a
         latent bug — nonexistent attribute — which we drop)."""
-        return self.mean_lin(self.encode(image, train=False))
+        return self.mean_lin(self.encode(image, train=False)).astype(
+            jnp.float32
+        )

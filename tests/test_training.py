@@ -186,6 +186,42 @@ def test_mapping_train_step_sharded_matches(rng):
         )
 
 
+def test_mapping_vae_bf16_compute(rng):
+    """MappingVAE(dtype=bf16) — the round-5 TPU default
+    (MappingModelConfig.compute_dtype; 328 -> 211 ms/step on chip):
+    outputs return f32, match the f32 path to bf16 resolution, and a
+    train step produces finite loss + f32 params."""
+    from atdn_vslam_tpu.config import MappingTrainConfig
+    from atdn_vslam_tpu.models.mapping import MappingVAE
+    from atdn_vslam_tpu.training.mapping import init_state as map_init
+    from atdn_vslam_tpu.training.mapping import make_train_step as map_step
+
+    images = jnp.asarray(
+        rng.uniform(0, 255, (2, 64, 96, 3)).astype(np.float32)
+    )
+    f32 = MappingVAE()
+    b16 = MappingVAE(dtype=jnp.bfloat16)
+    variables = f32.init(jax.random.key(0), images)
+    mu_f, _, _, dec_f = f32.apply(variables, images)
+    mu_b, _, _, dec_b = b16.apply(variables, images)
+    assert mu_b.dtype == jnp.float32 and dec_b.dtype == jnp.float32
+    # bf16 compute through 7 conv stages: ~1e-2 relative is in-family
+    scale = float(jnp.abs(mu_f).max())
+    assert float(jnp.abs(mu_b - mu_f).max()) < 5e-2 * scale
+    code = b16.apply(variables, images, method=b16.get_code)
+    assert code.dtype == jnp.float32
+
+    cfg = MappingTrainConfig(epochs=1, batch_size=2, seed=0)
+    state = map_init(b16, cfg, 2, jnp.zeros((2, 64, 96, 3)))
+    step = map_step(b16, cfg, 2, donate=False)
+    state, loss = step(state, jax.random.key(1), images)
+    assert np.isfinite(float(loss))
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.params)
+    )
+
+
 def test_train_mapping_with_mesh_runs(rng):
     """train_mapping(mesh=...) end to end: batch rounds down to the
     data-axis size and the loop converges on a tiny keyframe set."""

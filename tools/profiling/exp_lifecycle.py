@@ -41,7 +41,9 @@ def run_mapping():
 
     cfg = MappingTrainConfig()  # reference: batch 16, lr 1e-3
     b = cfg.batch_size
-    model = MappingVAE()
+    # bf16 compute = the round-5 TPU factory default
+    # (MappingModelConfig.compute_dtype; 328 -> 211 ms/step measured)
+    model = MappingVAE(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
         rng.uniform(0, 255, (b, H, W, 3)).astype(np.float32)
@@ -71,7 +73,7 @@ def run_mapping():
 def run_embed():
     from atdn_vslam_tpu.models.mapping import MappingVAE
 
-    model = MappingVAE()
+    model = MappingVAE(dtype=jnp.bfloat16)  # round-5 TPU default
     b = 8
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -109,7 +111,7 @@ def run_reloc():
     from atdn_vslam_tpu.geometry.se3 import pose_to_matrix
 
     rng = np.random.default_rng(0)
-    vae = MappingVAE()
+    vae = MappingVAE(dtype=jnp.bfloat16)  # round-5 TPU default
     img = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
     vae_vars = jax.jit(vae.init)(jax.random.key(0), img)
 
