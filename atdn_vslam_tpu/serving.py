@@ -146,15 +146,82 @@ def export_stream_step(
     return jax_export.export(jax.jit(fn), **kwargs)(*args)
 
 
+def export_encoder(
+    flow_model,
+    flow_vars,
+    height: int,
+    width: int,
+    platforms: tuple[str, ...] | None = None,
+    disabled_checks: tuple | None = None,
+) -> jax_export.Exported:
+    """AOT-export the frame feature encoder (weights baked).
+
+    A serving process bootstraps the streaming carry by feature-
+    encoding the FIRST frame; without this artifact it would need the
+    model code and checkpoint just for that one call (round-5 serving
+    measurement: rebuilding + jit-initing the models in-process cost
+    more than the step compile itself). Signature:
+    ``encode.call(image (H, W, 3) f32) -> frame cache pytree`` — the
+    output feeds :func:`export_stream_step`'s ``fmap_prev`` argument.
+    """
+
+    def _encode(image):
+        return flow_model.apply(
+            flow_vars, image[None], encode_only=True
+        )
+
+    im_spec = jax.ShapeDtypeStruct((height, width, 3), jnp.float32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    if disabled_checks is not None:
+        kwargs["disabled_checks"] = tuple(disabled_checks)
+    return jax_export.export(jax.jit(_encode), **kwargs)(im_spec)
+
+
+def zero_inputs_like(exported: jax_export.Exported, index: int):
+    """Zero-filled pytree for ``exported.call`` positional argument
+    ``index`` — serving uses this to build the initial LSTM carry
+    without the model classes (the artifact's in_avals carry all
+    shapes/dtypes)."""
+    avals = jax.tree.unflatten(
+        exported.in_tree, list(exported.in_avals)
+    )[0][index]
+    flat, tree = jax.tree.flatten(avals)
+    zeros = [jnp.zeros(a.shape, a.dtype) for a in flat]
+    return jax.tree.unflatten(tree, zeros)
+
+
 def save_stream_step(exported: jax_export.Exported, path) -> None:
     """Write the serialized artifact to ``path``."""
     pathlib.Path(path).write_bytes(exported.serialize())
 
 
-def load_exported(path) -> jax_export.Exported:
-    """Load a serialized artifact; run it via ``loaded.call(*args)``.
+def load_exported(path, jit: bool = True):
+    """Load a serialized artifact.
 
     The loaded object needs only jax — no model code, no flax classes,
     no checkpoint files (when exported with ``bake_weights=True``).
+
+    :param jit: wrap ``.call`` in ``jax.jit`` (returns the wrapped
+        callable as ``.call`` via a thin proxy). Calling the exported
+        module UN-jitted compiles through a path that bypasses the
+        persistent compilation cache — with the wrapper, a process
+        that sets ``jax_compilation_cache_dir`` pays the full XLA
+        compile only on the first-ever load on a machine (round-5
+        measured numbers in STATUS.md).
     """
-    return jax_export.deserialize(pathlib.Path(path).read_bytes())
+    exported = jax_export.deserialize(pathlib.Path(path).read_bytes())
+    if not jit:
+        return exported
+
+    class _Loaded:
+        """Proxy exposing ``call`` (jitted) + the raw Exported."""
+
+        def __init__(self, exported):
+            self.exported = exported
+            self.call = jax.jit(exported.call)
+            self.in_tree = exported.in_tree
+            self.in_avals = exported.in_avals
+
+    return _Loaded(exported)

@@ -62,6 +62,51 @@ def test_export_roundtrip_baked(models_and_vars, tmp_path):
         )
 
 
+def test_self_contained_bootstrap(models_and_vars, tmp_path):
+    """A serving process with ONLY the two artifacts (step + encoder)
+    reproduces the live step: encoder.call bootstraps the frame cache,
+    zero_inputs_like builds the LSTM carry from the step artifact's
+    in_avals — no model code, no checkpoint (round-5 serving fix: the
+    old bootstrap rebuilt+jit-inited both models just to encode frame
+    0, costing more than the step compile)."""
+    flow_model, odo_model, flow_vars, odo_vars = models_and_vars
+    rng = np.random.default_rng(5)
+    im1 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+
+    step_path = tmp_path / "step.jaxexport"
+    enc_path = tmp_path / "encoder.jaxexport"
+    serving.save_stream_step(
+        serving.export_stream_step(
+            flow_model, odo_model, flow_vars, odo_vars, H, W
+        ),
+        step_path,
+    )
+    serving.save_stream_step(
+        serving.export_encoder(flow_model, flow_vars, H, W), enc_path
+    )
+
+    # "serving process": artifacts only
+    loaded = serving.load_exported(step_path)
+    encoder = serving.load_exported(enc_path)
+    fmap = encoder.call(im1)
+    carry = serving.zero_inputs_like(loaded.exported, 3)
+    pose0 = jnp.eye(4)
+    got = loaded.call(im1, im2, fmap, carry, pose0)
+
+    # live reference
+    live = serving.make_stream_step(
+        flow_model, odo_model, (flow_vars, odo_vars)
+    )
+    fmap_live = serving.encode_frame(flow_model, flow_vars, im1)
+    want = live(im1, im2, fmap_live, odo_model.init_carry(1), pose0)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(w, np.float32), np.asarray(g, np.float32),
+            atol=1e-4, rtol=1e-5,
+        )
+
+
 def test_export_weights_as_arguments(models_and_vars):
     flow_model, odo_model, flow_vars, odo_vars = models_and_vars
     im1, im2, fmap = _frame_inputs(flow_model, flow_vars)
