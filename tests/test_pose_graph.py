@@ -168,6 +168,90 @@ def test_se3_log_near_pi(rng):
     np.testing.assert_allclose(T2, np.asarray(T), atol=1e-2)
 
 
+def _noisy_chain(rng, n, closure_every=3, rot=0.05, tr=0.5):
+    """(init, gt, edges_i, edges_j, meas, weights) for a noisy odometry
+    chain with exact loop-closure edges back to pose 0."""
+    xi = _rand_twists(rng, n - 1, rot_scale=rot, tr_scale=tr)
+    steps = se3_exp(jnp.asarray(xi))
+    gt = [jnp.eye(4)]
+    for i in range(n - 1):
+        gt.append(gt[-1] @ steps[i])
+    gt = jnp.stack(gt)
+    noise = _rand_twists(rng, n - 1, rot_scale=0.02, tr_scale=0.1)
+    noisy_meas = steps @ se3_exp(jnp.asarray(noise))
+    init = [jnp.eye(4)]
+    for i in range(n - 1):
+        init.append(init[-1] @ noisy_meas[i])
+    init = jnp.stack(init)
+    lc_j = jnp.arange(closure_every, n, closure_every)
+    lc_i = jnp.zeros_like(lc_j)
+    lc_meas = se3_inverse(gt[lc_i]) @ gt[lc_j]
+    ei, ej = odometry_edges(n)
+    edges_i = jnp.concatenate([ei, lc_i])
+    edges_j = jnp.concatenate([ej, lc_j])
+    meas = jnp.concatenate([noisy_meas, lc_meas])
+    weights = jnp.concatenate(
+        [jnp.ones(n - 1), 100.0 * jnp.ones(len(lc_j))]
+    )
+    return init, gt, edges_i, edges_j, meas, weights
+
+
+def test_optimize_cg_matches_dense(rng):
+    """The matrix-free block-Jacobi PCG path solves the same normal
+    equations as the dense Cholesky — poses must agree tightly."""
+    init, gt, ei, ej, meas, w = _noisy_chain(rng, 12)
+    opt_d, mse_d = optimize_pose_graph(init, ei, ej, meas, w, iterations=8)
+    opt_c, mse_c = optimize_pose_graph(
+        init, ei, ej, meas, w, iterations=8, solver="cg", cg_iterations=200
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_c), np.asarray(opt_d), atol=1e-3
+    )
+    assert np.isfinite(float(mse_c))
+    np.testing.assert_allclose(np.asarray(opt_c[0]), np.eye(4), atol=1e-6)
+
+
+def test_optimize_cg_large_chain(rng):
+    """CG at a scale where the dense path's (6N)^2 matrix would be the
+    wrong tool (N=400 here keeps CI fast; the chip envelope for the
+    dense path is measured in tools/profiling/exp_r5_posegraph.py)."""
+    init, gt, ei, ej, meas, w = _noisy_chain(
+        rng, 400, closure_every=20, rot=0.02, tr=0.3
+    )
+    init_err = float(
+        jnp.linalg.norm(init[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    )
+    opt, mse = optimize_pose_graph(
+        init, ei, ej, meas, w, iterations=10, solver="cg", cg_iterations=100
+    )
+    opt_err = float(
+        jnp.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    )
+    assert np.isfinite(float(mse))
+    assert opt_err < init_err * 0.5, (init_err, opt_err)
+
+
+def test_optimize_sharded_cg_matches_single(rng):
+    """Edge-sharded solve with the CG linear solver == single-device
+    CG (the matvec's scatter-adds GSPMD-reduce over the mesh)."""
+    from atdn_vslam_tpu.geometry.pose_graph import optimize_pose_graph_sharded
+    from atdn_vslam_tpu.parallel import make_mesh
+
+    init, gt, ei, ej, meas, w = _noisy_chain(rng, 9)
+    opt_single, _ = optimize_pose_graph(
+        init, ei, ej, meas, w, iterations=5, solver="cg", cg_iterations=150
+    )
+    mesh = make_mesh()
+    opt_shard, mse_shard = optimize_pose_graph_sharded(
+        mesh, init, ei, ej, meas, w, iterations=5,
+        solver="cg", cg_iterations=150,
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_shard), np.asarray(opt_single), atol=1e-4
+    )
+    assert np.isfinite(float(mse_shard))
+
+
 def test_optimize_sharded_matches_single(rng):
     """Edge-sharded (psum'd normal equations) solve == single-device
     solve, including non-divisible edge counts."""

@@ -5,6 +5,9 @@ import glob
 import gzip
 import json
 import os
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
