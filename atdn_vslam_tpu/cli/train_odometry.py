@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     sample_flows, _, _ = dataset[0]
     from atdn_vslam_tpu.models.factory import build_odometry_model
 
-    model = build_odometry_model(config)
+    model = build_odometry_model(config, training=True)
     steps_total = tc.epochs * len(loader)
     state = init_state(
         model, tc, steps_total,

@@ -41,6 +41,13 @@ class OdometryModelConfig:
     use_dropout: bool = False
     use_layernorm: bool = False
     lstm_size: int = 512
+    #: TRAINING-time conv-encoder compute dtype: "float32" (reference
+    #: numerics) or "bfloat16" (TPU fast path — the 16-channel encoder
+    #: activations pay 8x lane padding on every HBM byte; bf16 measured
+    #: 139 -> 110 ms/step at the reference config, accuracy at seed
+    #: noise on the synthetic harness — STATUS.md round 5). Inference
+    #: always runs f32 (perf-neutral there, measured round 4).
+    train_compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -14,7 +14,17 @@ from atdn_vslam_tpu.models.odometry import ATDNVO
 from atdn_vslam_tpu.utils.platform import is_tpu
 
 
-def build_odometry_model(config: Config) -> ATDNVO:
+def build_odometry_model(
+    config: Config, training: bool = False, on_tpu: bool | None = None
+) -> ATDNVO:
+    """``training=True`` engages the bf16 encoder compute path on TPU
+    (OdometryModelConfig.train_compute_dtype; 139 -> 110 ms/step at
+    the reference config). Inference builds stay f32 — the streaming
+    window measured bf16 perf-neutral there (round 4), so reference
+    numerics are kept. Compute dtype does not change the parameter
+    structure: checkpoints restore across both."""
+    if on_tpu is None:
+        on_tpu = is_tpu()
     c = config.odometry
     return ATDNVO(
         in_channels=c.in_channels,
@@ -22,6 +32,11 @@ def build_odometry_model(config: Config) -> ATDNVO:
         use_dropout=c.use_dropout,
         use_layernorm=c.use_layernorm,
         lstm_size=c.lstm_size,
+        compute_dtype=(
+            jnp.bfloat16
+            if (training and c.train_compute_dtype == "bfloat16" and on_tpu)
+            else None
+        ),
     )
 
 

@@ -58,30 +58,48 @@ class _Encoder(nn.Module):
     #: that caused it). Default on; set False for the reference's
     #: exact direct-conv summation order.
     stem_s2d_planar: bool = True
+    #: optional COMPUTE dtype for the WHOLE conv encoder (stem +
+    #: residual chain + final conv; params, batchnorm statistics, and
+    #: everything from the flattened features on stay f32). The
+    #: training-step device trace shows the encoder's 16-channel
+    #: activations pay 8x lane padding on every HBM byte (16/128
+    #: lanes), so bf16 halves the step's dominant traffic — see
+    #: STATUS.md round-5 and tools/profiling/exp_r5_odotrain_trace.py.
+    #: None = f32, the reference numerics.
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, flow: jax.Array, train: bool = False) -> jax.Array:
+        stem_dt = self.compute_dtype or self.stem_dtype
+        dt = self.compute_dtype
         if self.compressor:
             # per-channel 1x1 conv (groups=C depthwise, ref network.py:64)
             x = nn.Conv(
                 self.in_channels, (1, 1),
                 feature_group_count=self.in_channels,
-                dtype=self.stem_dtype,
+                dtype=stem_dt,
             )(flow)
             x = ConvBlock(
                 16, (7, 7), (2, 2), (3, 3), activation=mish,
-                dtype=self.stem_dtype,
+                dtype=stem_dt, act_dtype=dt,
                 s2d_planar=self.stem_s2d_planar,
             )(x, train)
             for _ in range(4):
-                x = ResidualConvBlock(16, (2, 2), activation=mish)(x, train)
-            x = ConvBlock(16, (3, 3), (3, 3), (0, 0), activation=mish)(x, train)
+                x = ResidualConvBlock(
+                    16, (2, 2), activation=mish, dtype=dt
+                )(x, train)
+            x = ConvBlock(
+                16, (3, 3), (3, 3), (0, 0), activation=mish,
+                dtype=dt, act_dtype=dt,
+            )(x, train)
         else:
             # "non-compressor" encoder variant (ref network.py:75-86)
             for ch in (4, 8, 16, 16, 16, 16):
-                x = ResidualConvBlock(ch, (2, 2), activation=mish)(flow, train)
+                x = ResidualConvBlock(
+                    ch, (2, 2), activation=mish, dtype=dt
+                )(flow, train)
                 flow = x
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         return LinearBlock(
             512, activation=mish,
             dropout=self.use_dropout, norm=self.use_layernorm,
@@ -108,6 +126,9 @@ class ATDNVO(nn.Module):
     stem_dtype: Any = None
     #: see _Encoder.stem_s2d_planar
     stem_s2d_planar: bool = True
+    #: see _Encoder.compute_dtype (bf16 halves the training step's
+    #: dominant lane-padded conv traffic; LSTM/heads stay f32)
+    compute_dtype: Any = None
 
     def setup(self):
         self.encoder = _Encoder(
@@ -115,6 +136,7 @@ class ATDNVO(nn.Module):
             self.use_dropout, self.use_layernorm,
             stem_dtype=self.stem_dtype,
             stem_s2d_planar=self.stem_s2d_planar,
+            compute_dtype=self.compute_dtype,
         )
         self.lstm1 = nn.LSTMCell(self.lstm_size)
         self.lstm_linear = LinearBlock(

@@ -111,3 +111,35 @@ def test_gradients_flow(small_model_and_vars):
     # at least the heads and lstm get nonzero grads
     total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
     assert total > 0
+
+
+def test_bf16_compute_encoder(small_model_and_vars):
+    """ATDNVO(compute_dtype=bf16): same params, outputs f32 and close
+    to the f32 path; a train-mode gradient is finite and f32. The
+    train-step device trace motivating this option is in STATUS.md
+    round-5 (the 16-channel encoder activations pay 8x lane padding;
+    bf16 halves the dominant HBM traffic)."""
+    model, vars_ = small_model_and_vars
+    b16 = ATDNVO(compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    flows = jnp.asarray(
+        rng.normal(scale=15.0, size=(2, 2, H, W, 2)).astype(np.float32)
+    )
+    carry = model.init_carry(2)
+    (rot_f, tr_f), _ = model.apply(vars_, flows, carry)
+    (rot_b, tr_b), _ = b16.apply(vars_, flows, carry)
+    assert rot_b.dtype == jnp.float32 and tr_b.dtype == jnp.float32
+    scale = float(jnp.abs(rot_f).max()) + 1e-6
+    assert float(jnp.abs(rot_b - rot_f).max()) < 5e-2 * scale + 1e-3
+
+    def loss(params):
+        (r, t), _ = b16.apply(
+            {"params": params, "batch_stats": vars_["batch_stats"]},
+            flows, carry,
+        )
+        return jnp.sum(r**2) + jnp.sum(t**2)
+
+    g = jax.grad(loss)(vars_["params"])
+    leaves = jax.tree.leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)

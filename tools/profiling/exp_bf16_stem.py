@@ -24,12 +24,12 @@ import numpy as np
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "acc"
 
-if MODE == "acc":
+if MODE.startswith("acc"):
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-if MODE == "acc":
+if MODE.startswith("acc"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -79,8 +79,14 @@ def run_acc():
     steps = 70
     batch_idx = [idx_rng.integers(0, n_items, 16) for _ in range(steps)]
 
-    for label, dt in (("f32 stem", None), ("bf16 stem", jnp.bfloat16)):
-        model = ATDNVO(stem_dtype=dt)
+    variants = (
+        (("f32 encoder", {}), ("bf16 encoder",
+                               {"compute_dtype": jnp.bfloat16}))
+        if MODE == "acc_full"
+        else (("f32 stem", {}), ("bf16 stem", {"stem_dtype": jnp.bfloat16}))
+    )
+    for label, kw in variants:
+        model = ATDNVO(**kw)
         cfg = TrainConfig(batch_size=16, sequence_length=T, lr=3e-4)
         state = init_state(
             model, cfg, steps, jnp.zeros((16, T, H, W, 2)), seed=seed
@@ -161,4 +167,4 @@ def run_perf():
 
 
 if __name__ == "__main__":
-    (run_acc if MODE == "acc" else run_perf)()
+    (run_acc if MODE.startswith("acc") else run_perf)()

@@ -32,7 +32,7 @@ def fence(tree):
     )
 
 
-def run_odo():
+def run_odo(compute_dtype=None):
     from atdn_vslam_tpu.config import LossConfig, TrainConfig
     from atdn_vslam_tpu.models.odometry import ATDNVO
     from atdn_vslam_tpu.training.odometry import (
@@ -41,7 +41,7 @@ def run_odo():
     )
 
     B, T, H, W = 24, 6, 376, 1232
-    model = ATDNVO()
+    model = ATDNVO(compute_dtype=compute_dtype)
     tcfg, lcfg = TrainConfig(), LossConfig()
     rng = np.random.default_rng(0)
     flows = jnp.asarray(
@@ -65,8 +65,9 @@ def run_odo():
         fence(step(state, flows, rot, tr)[1]["loss"])
         best = min(best, time.perf_counter() - t0)
     frames = B * T
+    dt = "bf16" if compute_dtype is not None else "f32"
     print(
-        f"odometry train step (batch {B}, seq {T}, {H}x{W} flows): "
+        f"odometry train step [{dt}] (batch {B}, seq {T}, {H}x{W} flows): "
         f"{best*1e3:.1f} ms/step = {frames/best:.0f} flow-frames/s  "
         f"{gflop:.0f} GFLOP  mfu {gflop*1e9/(best*PEAK_BF16):.2%}",
         flush=True,
@@ -133,6 +134,13 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("odo", "all"):
         run_odo()
+    if which == "odo_ab":
+        # f32 vs bf16 encoder compute, both in ONE process (the only
+        # trustworthy comparison on the shared chip), both orders
+        run_odo()
+        run_odo(jnp.bfloat16)
+        run_odo()
+        run_odo(jnp.bfloat16)
     if which in ("flow", "all"):
         run_flow(remat=True)
         run_flow(remat=False)
