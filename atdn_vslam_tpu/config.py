@@ -48,6 +48,10 @@ class OdometryModelConfig:
     #: noise on the synthetic harness — STATUS.md round 5). Inference
     #: always runs f32 (perf-neutral there, measured round 4).
     train_compute_dtype: str = "bfloat16"
+    #: width-packed encoder convs for TRAINING (ops/wpack.py; exact up
+    #: to f32 summation order, measured 111 -> 89 ms/step on top of
+    #: bf16 — STATUS.md round 5). TPU-only via the factory.
+    train_wpack: bool = True
 
 
 @dataclass(frozen=True)
@@ -62,6 +66,10 @@ class MappingModelConfig:
     #: round-5 chip numbers in STATUS.md). Params, batchnorm stats,
     #: and returned mu/latent/decoded stay f32 either way.
     compute_dtype: str = "bfloat16"
+    #: width-packed encoder convs (ops/wpack.py; exact up to f32
+    #: summation order, 209 -> 149 ms/step on top of bf16 at the
+    #: reference config — STATUS.md round 5). TPU-only via the factory.
+    wpack: bool = True
 
 
 @dataclass(frozen=True)

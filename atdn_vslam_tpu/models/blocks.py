@@ -86,6 +86,79 @@ class _PlanarStem7x7s2(nn.Module):
         )
 
 
+class _RawConv(nn.Module):
+    """Parameter container matching nn.Conv's param names/shapes
+    ("kernel"/"bias") for conv paths that lower the convolution
+    themselves (width-packed conv, ops/wpack.py). Checkpoint-compatible
+    with the nn.Conv it replaces."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _PackedBatchNorm(nn.Module):
+    """BatchNorm over a width-packed tensor (B, H, Wb, p*C) with
+    params/stats of shape (C,) — numerically equivalent to
+    nn.BatchNorm on the unpacked tensor (statistics reduce over
+    (B, H, W) = (B, H, Wb, p)), and checkpoint-compatible with it
+    (same param names "scale"/"bias", same batch_stats "mean"/"var").
+    Statistics accumulate in f32 like _batch_norm."""
+
+    features: int
+    p: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c, p = self.features, self.p
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xs = x.astype(jnp.float32)
+            m_pc = jnp.mean(xs, axis=(0, 1, 2)).reshape(p, c)
+            m2_pc = jnp.mean(xs * xs, axis=(0, 1, 2)).reshape(p, c)
+            mean = m_pc.mean(0)
+            var = m2_pc.mean(0) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * inv
+        inv_p = jnp.tile(inv, p).astype(x.dtype)
+        shift_p = jnp.tile(shift, p).astype(x.dtype)
+        return x * inv_p + shift_p
+
+
 class ConvBlock(nn.Module):
     """Conv -> activation -> BatchNorm (ref: layers/conv.py:7-37)."""
 
@@ -120,7 +193,25 @@ class ConvBlock(nn.Module):
     act_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        wpack: int = 0,
+        wpack_in: int = 0,
+    ) -> jax.Array:
+        """``wpack`` (call-time, static): width-pack factor
+        (ops/wpack.py). When > 0, the input and output are packed
+        (B, H, W/p, p*C) and the conv lowers via the packed placement
+        kernel (full MXU lanes instead of C/128). Same params
+        (checkpoint-compatible: "Conv_0"/"BatchNorm_0" scopes, same
+        shapes), same math up to f32 summation order; requires
+        symmetric int padding and unit dilation. ``wpack_in``: input
+        pack factor when it differs (entry stems: p_in = stride_w * p
+        packs the small-channel input to full lanes); 0 = same as
+        ``wpack``."""
+        if wpack > 0:
+            return self._call_packed(x, train, wpack, wpack_in)
         pad = self.padding
         if isinstance(pad, tuple) and isinstance(pad[0], int):
             pad = tuple((p, p) for p in pad)
@@ -154,6 +245,37 @@ class ConvBlock(nn.Module):
             out = out.astype(self.act_dtype)
         return out
 
+    def _call_packed(
+        self, xp: jax.Array, train: bool, wpack: int, wpack_in: int
+    ) -> jax.Array:
+        from atdn_vslam_tpu.ops.wpack import conv_packed
+
+        if self.dilation != (1, 1):
+            raise ValueError("wpack requires unit dilation")
+        pad = self.padding
+        if not (isinstance(pad, tuple) and isinstance(pad[0], int)):
+            raise ValueError("wpack requires symmetric int padding")
+        p = wpack
+        p_in = wpack_in or p
+        in_features = xp.shape[-1] // p_in
+        kernel, bias = _RawConv(
+            self.features, self.kernel_size, self.use_bias, name="Conv_0"
+        )(in_features)
+        dt = self.dtype
+        if dt is not None:
+            xp = xp.astype(dt)
+            kernel = kernel.astype(dt)
+            bias = None if bias is None else bias.astype(dt)
+        y = conv_packed(xp, kernel, bias, p, self.strides, pad, p_in=p_in)
+        y = y.astype(self.act_dtype or jnp.float32)
+        y = self.activation(y)
+        out = _PackedBatchNorm(self.features, p, name="BatchNorm_0")(
+            y, train
+        )
+        if self.act_dtype is not None:
+            out = out.astype(self.act_dtype)
+        return out
+
 
 class ResidualConvBlock(nn.Module):
     """Two ConvBlocks + strided 1x1 skip, then act+bn on the sum
@@ -169,24 +291,50 @@ class ResidualConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        in_features = x.shape[-1]
+    def __call__(
+        self, x: jax.Array, train: bool = False, wpack: int = 0
+    ) -> jax.Array:
+        """``wpack`` (call-time, static) — see ConvBlock.wpack. Input
+        AND output are packed with this p (stride-2 stages keep p; the
+        caller ensures p divides both stage widths, choose_pack)."""
+        p = wpack
+        in_features = x.shape[-1] // p if p > 0 else x.shape[-1]
         y = ConvBlock(
             in_features, (3, 3), (1, 1), (1, 1),
             activation=self.activation, dtype=self.dtype,
             act_dtype=self.dtype,
-        )(x, train)
+        )(x, train, wpack=p)
         y = ConvBlock(
             self.features, (3, 3), self.strides, (1, 1),
             activation=self.activation, dtype=self.dtype,
             act_dtype=self.dtype,
-        )(y, train)
-        skip = nn.Conv(
-            self.features, (1, 1), strides=self.strides, padding="VALID",
-            dtype=self.dtype,
-        )(x)
+        )(y, train, wpack=p)
+        if p > 0:
+            from atdn_vslam_tpu.ops.wpack import conv_packed
+
+            kernel, bias = _RawConv(
+                self.features, (1, 1), True, name="Conv_0"
+            )(in_features)
+            dt = self.dtype
+            xs = x if dt is None else x.astype(dt)
+            if dt is not None:
+                kernel = kernel.astype(dt)
+                bias = bias.astype(dt)
+            skip = conv_packed(xs, kernel, bias, p, self.strides, (0, 0))
+        else:
+            skip = nn.Conv(
+                self.features, (1, 1), strides=self.strides,
+                padding="VALID", dtype=self.dtype,
+            )(x)
         out = self.activation(y + skip)
-        out = _batch_norm(train)(out)
+        if p > 0:
+            if self.dtype is None:
+                out = out.astype(jnp.float32)
+            out = _PackedBatchNorm(self.features, p, name="BatchNorm_0")(
+                out, train
+            )
+        else:
+            out = _batch_norm(train)(out)
         if self.dtype is not None:
             out = out.astype(self.dtype)
         return out

@@ -37,6 +37,7 @@ def build_odometry_model(
             if (training and c.train_compute_dtype == "bfloat16" and on_tpu)
             else None
         ),
+        wpack=bool(training and c.train_wpack and on_tpu),
     )
 
 
@@ -73,4 +74,5 @@ def build_mapping_model(
             if (c.compute_dtype == "bfloat16" and on_tpu)
             else None
         ),
+        wpack=bool(c.wpack and on_tpu),
     )

@@ -61,6 +61,13 @@ class MappingVAE(nn.Module):
     #: neural_slam.py:305-352). Chip-measured in round 5 — see
     #: STATUS.md.
     dtype: Any = None
+    #: width-packed encoder convs (ops/wpack.py): the 3-16-channel
+    #: full-res stages otherwise pad channels to 128 lanes (a 3-channel
+    #: image pays ~42x HBM amplification — the measured reason the
+    #: mapping step sits ~400x above its bandwidth floor). Per-stage
+    #: pack factors adapt to the width; stages with no valid factor run
+    #: the plain path. Exact up to f32 summation order.
+    wpack: bool = False
 
     def setup(self):
         self.stem = ConvBlock(
@@ -98,6 +105,35 @@ class MappingVAE(nn.Module):
         x = normalize_rgb(image)
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.wpack:
+            from atdn_vslam_tpu.ops.wpack import (
+                choose_pack,
+                pack_width,
+                unpack_width,
+            )
+
+            cur_p = 0
+            p_stem = choose_pack((x.shape[-2],), 3)
+            if p_stem >= 2:
+                x = pack_width(x, p_stem)
+                cur_p = p_stem
+            x = self.stem(x, train, wpack=cur_p)
+            ci = 3
+            for block, ch in zip(self.down, self.channels):
+                w_in = (x.shape[-2] * cur_p) if cur_p else x.shape[-2]
+                w_out = (w_in - 1) // 2 + 1  # 3x3 s2 SAME
+                p = choose_pack((w_in, w_out), max(ci, ch))
+                if p != cur_p:
+                    if cur_p:
+                        x = unpack_width(x, cur_p)
+                    if p >= 2:
+                        x = pack_width(x, p)
+                    cur_p = p if p >= 2 else 0
+                x = block(x, train, wpack=cur_p)
+                ci = ch
+            if cur_p:
+                x = unpack_width(x, cur_p)
+            return x
         x = self.stem(x, train)
         for block in self.down:
             x = block(x, train)

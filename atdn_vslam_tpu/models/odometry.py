@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from atdn_vslam_tpu.models.blocks import ConvBlock, LinearBlock, ResidualConvBlock, mish
+from atdn_vslam_tpu.models.blocks import (
+    ConvBlock,
+    LinearBlock,
+    ResidualConvBlock,
+    _RawConv,
+    mish,
+)
 
 # Implicit flow normalization std (ref: utils/normalizations.py:10)
 FLOW_STD = (58.1837, 17.7647)
@@ -67,27 +73,87 @@ class _Encoder(nn.Module):
     #: STATUS.md round-5 and tools/profiling/exp_r5_odotrain_trace.py.
     #: None = f32, the reference numerics.
     compute_dtype: Any = None
+    #: lower the residual chain via width-packed convolution
+    #: (ops/wpack.py): 16-channel activations otherwise pad 16 -> 128
+    #: lanes, 8x-amplifying every HBM byte (the dominant train-step
+    #: cost, STATUS round 5). Packing is exact up to f32 summation
+    #: order; per-stage pack factors adapt to the input width and fall
+    #: back to the plain path when no factor divides a stage.
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, flow: jax.Array, train: bool = False) -> jax.Array:
         stem_dt = self.compute_dtype or self.stem_dtype
         dt = self.compute_dtype
         if self.compressor:
-            # per-channel 1x1 conv (groups=C depthwise, ref network.py:64)
-            x = nn.Conv(
-                self.in_channels, (1, 1),
-                feature_group_count=self.in_channels,
-                dtype=stem_dt,
-            )(flow)
-            x = ConvBlock(
-                16, (7, 7), (2, 2), (3, 3), activation=mish,
-                dtype=stem_dt, act_dtype=dt,
-                s2d_planar=self.stem_s2d_planar,
-            )(x, train)
-            for _ in range(4):
-                x = ResidualConvBlock(
-                    16, (2, 2), activation=mish, dtype=dt
+            if self.wpack:
+                from atdn_vslam_tpu.ops.wpack import (
+                    choose_pack,
+                    pack_width,
+                    unpack_width,
+                )
+
+            w0 = flow.shape[-2]
+            w1 = (w0 - 1) // 2 + 1  # stem out width (7x7 s2 SAME)
+            p0 = 0
+            if self.wpack and w0 % 2 == 0:
+                p0 = choose_pack((w1, (w1 - 1) // 2 + 1), 16)
+                p0 = p0 if p0 >= 2 else 0
+            if p0:
+                # fully packed entry: the padded NHWC input/stem tensors
+                # never materialize. Depthwise 1x1 (groups=C) is an
+                # elementwise per-channel scale+bias on the packed form;
+                # the 7x7-s2 stem consumes p_in = 2*p0.
+                kernel, bias = _RawConv(
+                    self.in_channels, (1, 1), True, name="Conv_0"
+                )(1)
+                xp = pack_width(flow, 2 * p0)
+                if stem_dt is not None:
+                    xp = xp.astype(stem_dt)
+                scale = jnp.tile(kernel[0, 0, 0], 2 * p0).astype(xp.dtype)
+                shift = jnp.tile(bias, 2 * p0).astype(xp.dtype)
+                x = xp * scale + shift
+                x = ConvBlock(
+                    16, (7, 7), (2, 2), (3, 3), activation=mish,
+                    dtype=stem_dt, act_dtype=dt,
+                )(x, train, wpack=p0, wpack_in=2 * p0)
+            else:
+                # per-channel 1x1 conv (groups=C depthwise,
+                # ref network.py:64)
+                x = nn.Conv(
+                    self.in_channels, (1, 1),
+                    feature_group_count=self.in_channels,
+                    dtype=stem_dt,
+                )(flow)
+                x = ConvBlock(
+                    16, (7, 7), (2, 2), (3, 3), activation=mish,
+                    dtype=stem_dt, act_dtype=dt,
+                    s2d_planar=self.stem_s2d_planar,
                 )(x, train)
+            if self.wpack:
+                cur_p = p0
+                for _ in range(4):
+                    w_in = x.shape[-2] if cur_p == 0 else (
+                        x.shape[-2] * cur_p
+                    )
+                    w_out = (w_in - 1) // 2 + 1  # 3x3 s2 SAME
+                    p = choose_pack((w_in, w_out), 16)
+                    if p != cur_p:
+                        if cur_p > 0:
+                            x = unpack_width(x, cur_p)
+                        if p >= 2:
+                            x = pack_width(x, p)
+                        cur_p = p if p >= 2 else 0
+                    x = ResidualConvBlock(
+                        16, (2, 2), activation=mish, dtype=dt,
+                    )(x, train, wpack=cur_p)
+                if cur_p > 0:
+                    x = unpack_width(x, cur_p)
+            else:
+                for _ in range(4):
+                    x = ResidualConvBlock(
+                        16, (2, 2), activation=mish, dtype=dt
+                    )(x, train)
             x = ConvBlock(
                 16, (3, 3), (3, 3), (0, 0), activation=mish,
                 dtype=dt, act_dtype=dt,
@@ -129,6 +195,8 @@ class ATDNVO(nn.Module):
     #: see _Encoder.compute_dtype (bf16 halves the training step's
     #: dominant lane-padded conv traffic; LSTM/heads stay f32)
     compute_dtype: Any = None
+    #: see _Encoder.wpack (width-packed residual chain)
+    wpack: bool = False
 
     def setup(self):
         self.encoder = _Encoder(
@@ -137,6 +205,7 @@ class ATDNVO(nn.Module):
             stem_dtype=self.stem_dtype,
             stem_s2d_planar=self.stem_s2d_planar,
             compute_dtype=self.compute_dtype,
+            wpack=self.wpack,
         )
         self.lstm1 = nn.LSTMCell(self.lstm_size)
         self.lstm_linear = LinearBlock(

@@ -143,3 +143,42 @@ def test_bf16_compute_encoder(small_model_and_vars):
     leaves = jax.tree.leaves(g)
     assert all(l.dtype == jnp.float32 for l in leaves)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_wpack_encoder_matches(small_model_and_vars):
+    """ATDNVO(wpack=True): width-packed residual chain, same params
+    (checkpoint-compatible scopes), outputs equal to the plain path up
+    to f32 summation order. Train mode must also update the SAME
+    batch_stats keys with matching statistics."""
+    model, vars_ = small_model_and_vars
+    wp = ATDNVO(wpack=True)
+    rng = np.random.default_rng(5)
+    flows = jnp.asarray(
+        rng.normal(scale=15.0, size=(2, 2, H, W, 2)).astype(np.float32)
+    )
+    carry = model.init_carry(2)
+    (rot_a, tr_a), _ = model.apply(vars_, flows, carry)
+    (rot_b, tr_b), _ = wp.apply(vars_, flows, carry)
+    np.testing.assert_allclose(
+        np.asarray(rot_b), np.asarray(rot_a), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_b), np.asarray(tr_a), atol=1e-4, rtol=1e-4
+    )
+
+    # train mode: same batch_stats tree, statistics agree
+    _, st_a = model.apply(
+        vars_, flows, carry, train=True, mutable=["batch_stats"]
+    )
+    _, st_b = wp.apply(
+        vars_, flows, carry, train=True, mutable=["batch_stats"]
+    )
+    fa = jax.tree.leaves(st_a["batch_stats"])
+    fb = jax.tree.leaves(st_b["batch_stats"])
+    assert jax.tree.structure(st_a["batch_stats"]) == jax.tree.structure(
+        st_b["batch_stats"]
+    )
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3
+        )

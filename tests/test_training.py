@@ -240,3 +240,43 @@ def test_train_mapping_with_mesh_runs(rng):
     )
     assert int(jax.device_get(state.step)) == 2  # 12 // 8 = 1 step/epoch
     assert np.isfinite(losses).all()
+
+
+def test_mapping_vae_wpack_matches(rng):
+    """MappingVAE(wpack=True): width-packed encoder, same params,
+    outputs equal to the plain path up to f32 summation order; train
+    step finite with identical batch_stats structure."""
+    from atdn_vslam_tpu.models.mapping import MappingVAE
+
+    images = jnp.asarray(
+        rng.uniform(0, 255, (2, 64, 96, 3)).astype(np.float32)
+    )
+    base = MappingVAE()
+    wp = MappingVAE(wpack=True)
+    variables = base.init(jax.random.key(0), images)
+    mu_a, _, _, dec_a = base.apply(variables, images)
+    mu_b, _, _, dec_b = wp.apply(variables, images)
+    np.testing.assert_allclose(
+        np.asarray(mu_b), np.asarray(mu_a), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_b), np.asarray(dec_a), atol=1e-4, rtol=1e-4
+    )
+    _, st_a = base.apply(
+        variables, images, train=True, mutable=["batch_stats"],
+        rngs={"reparam": jax.random.key(2)},
+    )
+    _, st_b = wp.apply(
+        variables, images, train=True, mutable=["batch_stats"],
+        rngs={"reparam": jax.random.key(2)},
+    )
+    assert jax.tree.structure(st_a["batch_stats"]) == jax.tree.structure(
+        st_b["batch_stats"]
+    )
+    for a, b in zip(
+        jax.tree.leaves(st_a["batch_stats"]),
+        jax.tree.leaves(st_b["batch_stats"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3
+        )

@@ -33,8 +33,8 @@ from atdn_vslam_tpu.training.mapping import (  # noqa: E402
 H, W, B = 376, 1232, 16
 
 
-def build(dtype=None):
-    model = MappingVAE(dtype=dtype)
+def build(dtype=None, wpack=False):
+    model = MappingVAE(dtype=dtype, wpack=wpack)
     cfg = MappingTrainConfig()
     state = init_state(model, cfg, 100, jnp.zeros((B, H, W, 3)))
     step = make_train_step(model, cfg, 100, donate=False)
@@ -46,8 +46,8 @@ def build(dtype=None):
     return step, state, key, imgs
 
 
-def time_one(dtype, label):
-    step, state, key, imgs = build(dtype)
+def time_one(dtype, label, wpack=False):
+    step, state, key, imgs = build(dtype, wpack)
     lowered = jax.jit(
         lambda s, k, im: step(s, k, im)[1]
     ).lower(state, key, imgs)
@@ -73,6 +73,13 @@ def main():
         # f32 vs bf16 compute, one process (STATUS drift caveat)
         time_one(None, "f32 ")
         time_one(jnp.bfloat16, "bf16")
+        return
+
+    if which == "time_wpack":
+        time_one(jnp.bfloat16, "bf16      ")
+        time_one(jnp.bfloat16, "bf16+wpack", wpack=True)
+        time_one(jnp.bfloat16, "bf16      ")
+        time_one(jnp.bfloat16, "bf16+wpack", wpack=True)
         return
 
     step, state, key, imgs = build(

@@ -21,13 +21,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, "/root/repo")
 
 
-def main():
+def main(dtype=None, wpack=False):
     from atdn_vslam_tpu.config import LossConfig, TrainConfig
     from atdn_vslam_tpu.models.odometry import ATDNVO
     from atdn_vslam_tpu.training.odometry import init_state, make_train_step
 
     B, T, H, W = 24, 6, 376, 1232
-    model = ATDNVO()
+    model = ATDNVO(compute_dtype=dtype, wpack=wpack)
     tcfg, lcfg = TrainConfig(), LossConfig()
     rng = np.random.default_rng(0)
     flows = jnp.asarray(
@@ -42,7 +42,7 @@ def main():
         return float(jnp.sum(out[1]["loss"]))
 
     fence(step(state, flows, rot, tr))
-    trace_dir = "/tmp/trace_odotrain"
+    trace_dir = "/tmp/trace_odotrain" + ("_bf16" if dtype is not None else "") + ("_wp" if wpack else "")
     os.system(f"rm -rf {trace_dir}")
     jax.profiler.start_trace(trace_dir)
     fence(step(state, flows, rot, tr))
@@ -101,4 +101,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(jnp.bfloat16 if "bf16" in sys.argv[1:] else None, "wpack" in sys.argv[1:])

@@ -32,7 +32,7 @@ def fence(tree):
     )
 
 
-def run_odo(compute_dtype=None):
+def run_odo(compute_dtype=None, wpack=False):
     from atdn_vslam_tpu.config import LossConfig, TrainConfig
     from atdn_vslam_tpu.models.odometry import ATDNVO
     from atdn_vslam_tpu.training.odometry import (
@@ -41,7 +41,7 @@ def run_odo(compute_dtype=None):
     )
 
     B, T, H, W = 24, 6, 376, 1232
-    model = ATDNVO(compute_dtype=compute_dtype)
+    model = ATDNVO(compute_dtype=compute_dtype, wpack=wpack)
     tcfg, lcfg = TrainConfig(), LossConfig()
     rng = np.random.default_rng(0)
     flows = jnp.asarray(
@@ -65,7 +65,7 @@ def run_odo(compute_dtype=None):
         fence(step(state, flows, rot, tr)[1]["loss"])
         best = min(best, time.perf_counter() - t0)
     frames = B * T
-    dt = "bf16" if compute_dtype is not None else "f32"
+    dt = ("bf16" if compute_dtype is not None else "f32") + ("+wpack" if wpack else "")
     print(
         f"odometry train step [{dt}] (batch {B}, seq {T}, {H}x{W} flows): "
         f"{best*1e3:.1f} ms/step = {frames/best:.0f} flow-frames/s  "
@@ -141,6 +141,12 @@ def main():
         run_odo(jnp.bfloat16)
         run_odo()
         run_odo(jnp.bfloat16)
+    if which == "odo_wpack":
+        run_odo(jnp.bfloat16)
+        run_odo(jnp.bfloat16, wpack=True)
+        run_odo(jnp.bfloat16)
+        run_odo(jnp.bfloat16, wpack=True)
+        run_odo(None, wpack=True)
     if which in ("flow", "all"):
         run_flow(remat=True)
         run_flow(remat=False)
