@@ -48,10 +48,12 @@ class OdometryModelConfig:
     #: noise on the synthetic harness — STATUS.md round 5). Inference
     #: always runs f32 (perf-neutral there, measured round 4).
     train_compute_dtype: str = "bfloat16"
-    #: width-packed encoder convs for TRAINING (ops/wpack.py; exact up
-    #: to f32 summation order, measured 111 -> 89 ms/step on top of
-    #: bf16 — STATUS.md round 5). TPU-only via the factory.
-    train_wpack: bool = True
+    #: width-packed encoder convs (ops/wpack.py; exact up to f32
+    #: summation order). Measured: train step 111 -> 89 ms/step on top
+    #: of bf16; inference window 24.21 -> 23.87 ms/frame (41.3 -> 41.9
+    #: fps) — STATUS.md round 5. TPU-only via the factory; applies to
+    #: both training and inference builds.
+    wpack: bool = True
 
 
 @dataclass(frozen=True)

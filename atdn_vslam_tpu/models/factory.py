@@ -37,7 +37,7 @@ def build_odometry_model(
             if (training and c.train_compute_dtype == "bfloat16" and on_tpu)
             else None
         ),
-        wpack=bool(training and c.train_wpack and on_tpu),
+        wpack=bool(c.wpack and on_tpu),
     )
 
 

@@ -67,7 +67,7 @@ def main() -> int:
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=None if on_tpu else False,
     )
-    odo_model = ATDNVO()
+    odo_model = ATDNVO(wpack=True)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
