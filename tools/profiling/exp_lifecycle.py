@@ -43,7 +43,7 @@ def run_mapping():
     b = cfg.batch_size
     # bf16 compute = the round-5 TPU factory default
     # (MappingModelConfig.compute_dtype; 328 -> 211 ms/step measured)
-    model = MappingVAE(dtype=jnp.bfloat16)
+    model = MappingVAE(dtype=jnp.bfloat16, wpack=True)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
         rng.uniform(0, 255, (b, H, W, 3)).astype(np.float32)
@@ -73,7 +73,7 @@ def run_mapping():
 def run_embed():
     from atdn_vslam_tpu.models.mapping import MappingVAE
 
-    model = MappingVAE(dtype=jnp.bfloat16)  # round-5 TPU default
+    model = MappingVAE(dtype=jnp.bfloat16, wpack=True)  # round-5 TPU default
     b = 8
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -111,7 +111,7 @@ def run_reloc():
     from atdn_vslam_tpu.geometry.se3 import pose_to_matrix
 
     rng = np.random.default_rng(0)
-    vae = MappingVAE(dtype=jnp.bfloat16)  # round-5 TPU default
+    vae = MappingVAE(dtype=jnp.bfloat16, wpack=True)  # round-5 TPU default
     img = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
     vae_vars = jax.jit(vae.init)(jax.random.key(0), img)
 
@@ -143,7 +143,7 @@ def run_reloc():
 
     # refine = one flow+odometry step (fresh carry)
     flow_model = RAFTGMA(iters=12, dtype=jnp.bfloat16)
-    odo_model = ATDNVO()
+    odo_model = ATDNVO(wpack=True)
     im2 = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
     flow_vars = jax.jit(flow_model.init)(jax.random.key(0), img, im2)
     odo_vars = jax.jit(odo_model.init)(
