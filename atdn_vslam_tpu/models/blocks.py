@@ -358,12 +358,29 @@ class TransposedConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        y = ConvBlock(
-            self.features, (3, 3), (1, 1), (1, 1),
-            activation=self.activation, dtype=self.dtype,
-            act_dtype=self.dtype,
-        )(x, train)
+    def __call__(
+        self, x: jax.Array, train: bool = False, wpack: int = 0
+    ) -> jax.Array:
+        """``wpack`` (call-time, static): width-pack factor for the
+        INTERNAL 3x3 ConvBlock only (ops/wpack.py) — the transposed
+        conv's 2w-1 output widths rarely admit a pack factor, but the
+        internal conv runs at the (packable) input width. The caller
+        passes a p dividing x's width; pack/unpack happen here."""
+        if wpack >= 2:
+            from atdn_vslam_tpu.ops.wpack import pack_width, unpack_width
+
+            y = ConvBlock(
+                self.features, (3, 3), (1, 1), (1, 1),
+                activation=self.activation, dtype=self.dtype,
+                act_dtype=self.dtype,
+            )(pack_width(x, wpack), train, wpack=wpack)
+            y = unpack_width(y, wpack)
+        else:
+            y = ConvBlock(
+                self.features, (3, 3), (1, 1), (1, 1),
+                activation=self.activation, dtype=self.dtype,
+                act_dtype=self.dtype,
+            )(x, train)
         tp_pad = tuple(
             (k - 1 - p, k - 1 - p)
             for k, p in zip(self.kernel_size, self.padding)

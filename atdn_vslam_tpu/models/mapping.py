@@ -143,8 +143,19 @@ class MappingVAE(nn.Module):
         x = latent
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        for block in self.up:
-            x = block(x, train)
+        if self.wpack:
+            from atdn_vslam_tpu.ops.wpack import choose_pack
+
+            up_channels = (*reversed(self.channels[:-1]), 8)
+            ci = self.latent_channels
+            for block, ch in zip(self.up, up_channels):
+                w = x.shape[-2]
+                p = choose_pack((w,), max(ci, ch))
+                x = block(x, train, wpack=p)
+                ci = ch
+        else:
+            for block in self.up:
+                x = block(x, train)
         return self.out_conv(x).astype(jnp.float32)
 
     def __call__(

@@ -83,7 +83,8 @@ def main():
         return
 
     step, state, key, imgs = build(
-        jnp.bfloat16 if which == "trace_bf16" else None
+        jnp.bfloat16 if which.startswith("trace_bf16") else None,
+        wpack=which.endswith("wpack"),
     )
     lowered = jax.jit(
         lambda s, k, im: step(s, k, im)[1]
