@@ -1,6 +1,12 @@
 """Width-packed conv (ops/wpack.py) vs plain NHWC conv on chip, at the
 shapes dominating the odometry/mapping train steps. Direction check
-before integration (the full-step A/B decides; same-process pairs)."""
+before integration (the full-step A/B decides; same-process pairs).
+
+CAVEAT (learned in this round): the wall-clock numbers this script
+prints are dominated by tunnel RPC + fence overhead (a conv the device
+trace prices at 3.25 ms walls at ~31 ms here). Use them ONLY to compare
+packed vs ref within one run; for absolute numbers, device-trace the
+call (see /tmp/trace_wpack pattern in STATUS round-5 (10))."""
 
 import sys
 import time
