@@ -172,7 +172,16 @@ def mapping_reconstruction_loss(
 ) -> jax.Array:
     """Reconstruction MSE + saturation (per-pixel channel max-min) L1 —
     the map-building loss actually used by the SLAM runtime
-    (ref: neural_slam.py:336-340). NHWC inputs."""
+    (ref: neural_slam.py:336-340). NHWC inputs.
+
+    Measured NEGATIVE (round 5, do not retry): rewriting the channel
+    max/min lane-reduces as unrolled elementwise max/min over sliced
+    channel planes — hoping to avoid re-reading the ~42x-lane-padded
+    (…, 3) tensors six times (~18 ms/step in the device trace) —
+    regressed the pipelined step 117 -> 122.5 ms: XLA does not fuse
+    the three lane slices into one pass, and the maximum-chain
+    backward adds select/scatter passes the reduce form doesn't pay.
+    """
     mse = jnp.mean((pred - target) ** 2)
     sat_true = jnp.max(target, axis=-1) - jnp.min(target, axis=-1)
     sat_pred = jnp.max(pred, axis=-1) - jnp.min(pred, axis=-1)
