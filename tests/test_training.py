@@ -280,3 +280,25 @@ def test_mapping_vae_wpack_matches(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3
         )
+
+
+def test_train_step_sharded_wpack(setup, rng):
+    """Width-packed encoder (the TPU production train config) composes
+    with GSPMD batch sharding: sharded loss == unsharded loss (the
+    packed conv partitions on the batch dim like any conv)."""
+    _, cfg, _ = setup
+    model = ATDNVO(wpack=True)
+    sample = jnp.zeros((B, T, H, W, 2))
+    state = init_state(model, cfg, steps_total=100, sample_flows=sample)
+    mesh = make_mesh()
+    flows, rot, tr = _batch(rng)
+    plain = make_train_step(model, cfg, LossConfig(), 100, donate=False)
+    _, m_plain = plain(state, flows, rot, tr)
+    sharded = make_train_step(
+        model, cfg, LossConfig(), 100, mesh=mesh, donate=False
+    )
+    sflows, srot, str_ = shard_batch(mesh, (flows, rot, tr))
+    _, m_shard = sharded(state, sflows, srot, str_)
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_shard["loss"]), rtol=1e-4
+    )
